@@ -1,0 +1,103 @@
+"""Fused scaled-dot-product attention ops.
+
+The reference has two attention accelerations that we subsume with one op:
+
+  * `AttentionFusedOps` — MatMul[+Mul(scale)]+Softmax+MatMul collapsed and
+    executed in Q-row slices so the (heads, q, kv) matrix never materializes
+    (reference src/onnxstream.cpp:3576-3633 recognizer, 6696-6928 executor);
+  * `ScaledDotProductAttention` — the LLM-shaped fusions mapped to XNNPACK's
+    flash-style kernel with GQA + additive mask (src/onnxstream.cpp:3635-3755
+    recognizers, 7767-7882 executor).
+
+Both become the internal op ``ostpu.sdpa`` here: the graph fusion pass
+(onnxstream_tpu/runtime/fusion.py) rewrites the recognized patterns, and this
+impl dispatches to a blockwise Pallas flash-attention kernel on TPU
+(onnxstream_tpu/kernels/flash_attention.py) or a jnp reference path elsewhere.
+The blockwise kernel makes the reference's `m_attention_fused_ops_parts`
+slicing knob unnecessary: memory is bounded by the block size by construction.
+
+Canonical signature:
+    inputs:  Q (..., H, M, D), K (..., Hkv, N, D), V (..., Hkv, N, Dv), mask?
+    attrs:   scale (float, default 1/sqrt(D)), k_transposed (K given as
+             (..., Hkv, D, N)), causal (0/1)
+GQA: H may be a multiple of Hkv (reference src/onnxstream.cpp:7791-7797).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from onnxstream_tpu.ops import Ctx, register
+
+
+def sdpa_reference(q, k, v, mask=None, scale=None, k_transposed=False, causal=False):
+    """jnp reference SDPA with float32 softmax and GQA support."""
+    if k_transposed:
+        k = jnp.swapaxes(k, -1, -2)  # -> (..., N, D)
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+
+    h_q = q.shape[-3] if q.ndim >= 3 else 1
+    h_kv = k.shape[-3] if k.ndim >= 3 else 1
+    if q.ndim >= 3 and h_q != h_kv:
+        if h_q % h_kv:
+            raise ValueError(f"GQA requires q_heads % kv_heads == 0, got {h_q} vs {h_kv}")
+        rep = h_q // h_kv
+        k = jnp.repeat(k, rep, axis=-3)
+        v = jnp.repeat(v, rep, axis=-3)
+
+    logits = jnp.einsum("...md,...nd->...mn", q, k, preferred_element_type=jnp.float32)
+    logits = logits * jnp.float32(scale)
+    if mask is not None:
+        logits = logits + mask.astype(jnp.float32)
+    if causal:
+        m, n = logits.shape[-2], logits.shape[-1]
+        row = jax.lax.broadcasted_iota(jnp.int32, (m, n), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1)
+        neg = jnp.asarray(-1e30, jnp.float32)
+        logits = jnp.where(col <= row + (n - m), logits, neg)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("...mn,...nd->...md", probs.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def _use_flash(config, q, k) -> bool:
+    if config is not None and not getattr(config, "use_flash_attention", True):
+        return False
+    try:
+        import jax
+
+        platform = jax.default_backend()
+    except Exception:
+        return False
+    if platform not in ("tpu",):
+        return False
+    # the Pallas kernel wants lane-aligned head dims and enough rows to tile
+    d = q.shape[-1]
+    return d % 128 == 0 and q.shape[-2] >= 8
+
+
+@register("ostpu.sdpa")
+def _sdpa(ctx: Ctx, op, ins):
+    q, k, v = ins[0], ins[1], ins[2]
+    mask = ins[3] if len(ins) > 3 and ins[3] is not None else None
+    scale = op.attr_float("scale", 0.0) or None
+    k_transposed = bool(op.attr_int("k_transposed", 0))
+    causal = bool(op.attr_int("causal", 0))
+
+    if _use_flash(ctx.config, q, k):
+        from onnxstream_tpu.kernels.flash_attention import flash_attention
+
+        try:
+            return [
+                flash_attention(
+                    q, k, v, mask=mask, scale=scale, k_transposed=k_transposed, causal=causal
+                )
+            ]
+        except NotImplementedError:
+            pass
+    return [sdpa_reference(q, k, v, mask=mask, scale=scale, k_transposed=k_transposed, causal=causal)]

@@ -1,0 +1,85 @@
+"""Session configuration.
+
+Mirrors the reference Model's ~20 public option flags (src/onnxstream.h:944-968
+and the string-keyed model_set_option surface, src/exports.cpp:276-301), plus
+TPU-native knobs (compute dtype incl. bfloat16, HBM segment budget, flash
+attention, sharding mesh).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Set
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class SessionConfig:
+    # --- reference-parity flags -------------------------------------------
+    support_dynamic_shapes: bool = False  # onnxstream.h:949
+    # use_fp16_arithmetic in the reference; on TPU "float16" | "bfloat16" | "float32".
+    compute_dtype: str = "float32"
+    force_fp16_storage: bool = False  # demote resident fp32 weights (onnxstream.cpp:3764)
+    force_uint8_storage_set: Set[str] = dataclasses.field(default_factory=set)
+    use_uint8_qdq: bool = False  # quantize pushed intermediates (onnxstream.cpp:3022)
+    use_uint8_arithmetic: bool = False  # W8A8 ops (Pallas path)
+    fuse_ops_in_attention: bool = True  # AttentionFusedOps recognizer (onnxstream.cpp:3576)
+    attention_fused_ops_parts: int = 2  # accepted for parity; blockwise flash makes it moot
+    use_scaled_dp_attn_op: bool = False  # LLM SDPA recognizers (onnxstream.cpp:3635)
+    use_ops_cache: bool = True  # jit executable cache (always beneficial on XLA)
+    use_next_op_cache: bool = True  # parse cache (the Graph is parsed once regardless)
+    use_nchw_convs: bool = False  # layout is XLA's concern on TPU; accepted for parity
+    ops_printf: bool = False  # per-op log (onnxstream.cpp:3759)
+    ops_times_printf: bool = False  # cumulative per-op-type ms (onnxstream.cpp:8199)
+    range_data_calibrate: bool = False  # record activation ranges (onnxstream.cpp:2983)
+    extra_outputs: List[str] = dataclasses.field(default_factory=list)
+    weights_exclusion_set: Set[str] = dataclasses.field(default_factory=set)
+    requires_upcast: Optional[Callable[[str, str], bool]] = None  # (op_type, op_name) -> bool
+
+    # --- TPU-native knobs ---------------------------------------------------
+    use_flash_attention: bool = True
+    hbm_budget_bytes: int = 0  # 0 = single segment (no weight streaming cap)
+    donate_weights: bool = True  # donate streamed weight buffers to the computation
+    strict_shapes: bool = True  # enforce model.txt declared shapes (check_output_shape)
+    embed_const_limit: int = 1 << 21  # fold-results larger than this become run-time args
+    device: Optional[object] = None  # jax.Device to run on (default: first)
+    mesh: Optional[object] = None  # jax.sharding.Mesh for multi-chip execution
+    sharding_rules: Optional[object] = None  # parallel.sharding rules when mesh is set
+
+    # quantization calibration data: op_name -> (min, max)
+    range_data: Dict[str, tuple] = dataclasses.field(default_factory=dict)
+
+    @property
+    def np_compute_dtype(self):
+        if self.compute_dtype == "float32":
+            return np.dtype(np.float32)
+        if self.compute_dtype == "float16":
+            return np.dtype(np.float16)
+        if self.compute_dtype == "bfloat16":
+            import ml_dtypes
+
+            return np.dtype(ml_dtypes.bfloat16)
+        raise ValueError(f"unsupported compute_dtype {self.compute_dtype!r}")
+
+    # --- reference model_set_option surface (src/exports.cpp:276-301) -------
+    def set_option(self, name: str, value: bool) -> None:
+        mapping = {
+            "use_fp16_arithmetic": lambda v: setattr(self, "compute_dtype", "float16" if v else "float32"),
+            "use_bf16_arithmetic": lambda v: setattr(self, "compute_dtype", "bfloat16" if v else "float32"),
+            "use_uint8_qdq": lambda v: setattr(self, "use_uint8_qdq", v),
+            "use_uint8_arithmetic": lambda v: setattr(self, "use_uint8_arithmetic", v),
+            "fuse_ops_in_attention": lambda v: setattr(self, "fuse_ops_in_attention", v),
+            "force_fp16_storage": lambda v: setattr(self, "force_fp16_storage", v),
+            "support_dynamic_shapes": lambda v: setattr(self, "support_dynamic_shapes", v),
+            "use_ops_cache": lambda v: setattr(self, "use_ops_cache", v),
+            "use_scaled_dp_attn_op": lambda v: setattr(self, "use_scaled_dp_attn_op", v),
+            "use_next_op_cache": lambda v: setattr(self, "use_next_op_cache", v),
+            "ops_printf": lambda v: setattr(self, "ops_printf", v),
+            "ops_times_printf": lambda v: setattr(self, "ops_times_printf", v),
+            "use_nchw_convs": lambda v: setattr(self, "use_nchw_convs", v),
+            "use_flash_attention": lambda v: setattr(self, "use_flash_attention", v),
+        }
+        if name not in mapping:
+            raise ValueError(f"unknown option {name!r}")
+        mapping[name](bool(value))

@@ -1,0 +1,374 @@
+"""Segmented XLA executor.
+
+Where the reference interprets one op at a time against XNNPACK
+(src/onnxstream.cpp:3550-8269), this executor compiles the planned device ops
+into XLA computations and streams weights to HBM:
+
+  * the device ops are partitioned into **segments** — contiguous runs whose
+    streamed weights fit `config.hbm_budget_bytes` (0 = one segment). This is
+    the XLA-native form of OnnxStream's defining feature: inference RAM/HBM
+    bounded by the budget, not the model size;
+  * each segment is jitted once per input-shape bucket and cached (subsuming
+    the reference's packed-operator ops cache, src/onnxstream.cpp:665-725);
+  * weights for segment k+1 are fetched (through the WeightsProvider chain,
+    converted once to the upload dtype) and `jax.device_put` begins the
+    host->HBM DMA while segment k is still executing — the DiskPrefetch
+    overlap (src/onnxstream.h:356-664) extended one hop further, to the chip;
+  * streamed weight buffers are donated so XLA recycles their HBM.
+
+`run_eager` is the reference-style per-op interpreter (no jit): it powers
+ops_printf / ops_times debugging and quantization calibration, and serves as
+the correctness oracle in tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from onnxstream_tpu.dtypes import DType
+from onnxstream_tpu.ir import Graph, OpNode
+from onnxstream_tpu.ops import Ctx, get_impl
+from onnxstream_tpu.runtime.config import SessionConfig
+from onnxstream_tpu.runtime.planner import Plan, WeightArg
+from onnxstream_tpu.runtime.quantization import RangeData, range_to_scale
+from onnxstream_tpu.runtime.weights import WeightsProvider
+
+
+def _is_float_dtype(dt) -> bool:
+    return np.issubdtype(dt, np.floating) or str(dt) in ("bfloat16", "float16")
+
+
+@dataclasses.dataclass
+class Segment:
+    op_indices: List[int]
+    weight_args: List[WeightArg]
+    in_names: List[str]
+    out_names: List[str]
+    weight_bytes: int
+
+
+def build_segments(plan: Plan, fetch_names: Sequence[str]) -> List[Segment]:
+    graph, config = plan.graph, plan.config
+    budget = config.hbm_budget_bytes
+
+    device_ops = [i for i, m in enumerate(plan.op_modes) if m == "device"]
+    arg_by_name = {w.name: w for w in plan.arg_weights}
+
+    def op_weight_names(i):
+        return [t.name for t in graph.ops[i].inputs if t.is_weight and t.name in arg_by_name]
+
+    def upload_bytes(w: WeightArg) -> int:
+        n = 1
+        for d in w.shape:
+            n *= d
+        return n * np.dtype(w.upload_dtype).itemsize
+
+    # a weight used by several ops is fetched once per segment that needs it
+    # (the common case — first use — matches the provider's stream order;
+    # cross-segment reuse falls back to the provider's out-of-order path)
+    segments: List[Segment] = []
+    cur_ops: List[int] = []
+    cur_w: List[WeightArg] = []
+    cur_names: set = set()
+    cur_bytes = 0
+
+    def flush():
+        nonlocal cur_ops, cur_w, cur_names, cur_bytes
+        if cur_ops:
+            segments.append(Segment(cur_ops, cur_w, [], [], cur_bytes))
+        cur_ops, cur_w, cur_names, cur_bytes = [], [], set(), 0
+
+    for i in device_ops:
+        new_names = [n for n in op_weight_names(i) if n not in cur_names]
+        wbytes = sum(upload_bytes(arg_by_name[n]) for n in new_names)
+        if budget > 0 and cur_ops and cur_bytes + wbytes > budget:
+            flush()
+            new_names = op_weight_names(i)
+            wbytes = sum(upload_bytes(arg_by_name[n]) for n in new_names)
+        cur_ops.append(i)
+        for n in new_names:
+            if n not in cur_names:
+                cur_names.add(n)
+                cur_w.append(arg_by_name[n])
+        cur_bytes += wbytes
+    flush()
+
+    # boundary activations: producer segment of each device tensor
+    producer_seg: Dict[str, int] = {}
+    for si, seg in enumerate(segments):
+        for oi in seg.op_indices:
+            for t in graph.ops[oi].outputs:
+                if t.name:
+                    producer_seg[t.name] = si
+    fetched = set(fetch_names)
+    needed_out: Dict[int, set] = {si: set() for si in range(len(segments))}
+    needed_in: Dict[int, set] = {si: set() for si in range(len(segments))}
+    for si, seg in enumerate(segments):
+        for oi in seg.op_indices:
+            for t in graph.ops[oi].inputs:
+                if t.is_weight or not t.name:
+                    continue
+                if t.name in plan.static_env:
+                    continue
+                p = producer_seg.get(t.name)
+                if p is None:  # graph input
+                    needed_in[si].add(t.name)
+                elif p != si:
+                    needed_out[p].add(t.name)
+                    needed_in[si].add(t.name)
+    for name in fetched:
+        p = producer_seg.get(name)
+        if p is not None:
+            needed_out[p].add(name)
+    for si, seg in enumerate(segments):
+        seg.in_names = sorted(needed_in[si])
+        seg.out_names = sorted(needed_out[si])
+    return segments
+
+
+class Executor:
+    def __init__(self, plan: Plan, provider: WeightsProvider):
+        self.plan = plan
+        self.graph = plan.graph
+        self.config = plan.config
+        self.provider = provider
+        self.segments = build_segments(plan, plan.fetch_names)
+        self._jitted: List[Any] = [None] * len(self.segments)
+        self._device_weight_cache: Dict[str, jax.Array] = {}
+        self._converted: set = set()
+        self.range_data = RangeData()
+        self.ops_times: Dict[str, float] = {}
+        provider.on_init(plan.stream_entries())
+        self._first_run_done = False
+
+    # ------------------------------------------------------------------ utils
+    @property
+    def _device(self):
+        if self.config.device is not None:
+            return self.config.device
+        return jax.devices()[0]
+
+    def _resolve_static(self, name: str):
+        if name in self.plan.static_env:
+            return self.plan.static_env[name]
+        if name in self.plan.static_weights:
+            return self.plan.static_weights[name]
+        raise KeyError(name)
+
+    def _weight_to_device_input(self, w: WeightArg, arr: np.ndarray):
+        """Host-side dtype conversion (once — written back through the
+        provider, like the reference's WeightsProvider::update) and async
+        device_put."""
+        target = np.dtype(w.upload_dtype)
+        if arr.dtype != target and w.quant is None:
+            arr = arr.astype(target)
+            self.provider.update(w.name, arr)
+        return jax.device_put(arr, self._device)
+
+    def _fetch_segment_weights(self, seg: Segment) -> List[jax.Array]:
+        out = []
+        for w in seg.weight_args:
+            cached = self._device_weight_cache.get(w.name)
+            if cached is not None:
+                out.append(cached)
+                continue
+            arr = self.provider.get(w.name, w.file_dtype, w.shape)
+            dev = self._weight_to_device_input(w, arr)
+            if self.config.hbm_budget_bytes == 0:
+                # no streaming budget: weights stay resident in HBM across runs
+                self._device_weight_cache[w.name] = dev
+            out.append(dev)
+        return out
+
+    # --------------------------------------------------------------- op eval
+    def _eval_op(self, op: OpNode, env: Dict[str, Any], weights_env: Dict[str, Any]):
+        impl = get_impl(op.op_type)
+        cdt = self.config.np_compute_dtype
+        ins: List[Any] = []
+        for t in op.inputs:
+            if not t.name:
+                ins.append(None)
+            elif t.is_weight:
+                if t.name in self.plan.static_weights:
+                    ins.append(self.plan.static_weights[t.name])
+                else:
+                    v = weights_env[t.name]
+                    w = next(w for w in self.plan.arg_weights if w.name == t.name)
+                    if w.quant is not None:
+                        scale, zp = w.quant
+                        v = ((v.astype(jnp.float32) - zp) * scale).astype(cdt)
+                    elif w.file_dtype.is_float and v.dtype != cdt:
+                        v = v.astype(cdt)
+                    ins.append(v)
+            elif t.name in self.plan.static_env:
+                ins.append(self.plan.static_env[t.name])
+            else:
+                ins.append(env[t.name])
+
+        upcast = self.config.requires_upcast is not None and self.config.requires_upcast(op.op_type, op.name)
+        if upcast:
+            ins = [
+                v.astype(jnp.float32) if v is not None and not isinstance(v, np.ndarray) and _is_float_dtype(v.dtype) else v
+                for v in ins
+            ]
+        ctx = Ctx(jnp, "device", self.config, op.name)
+        outs = impl.fn(ctx, op, ins)
+        if upcast:
+            outs = [o.astype(cdt) if _is_float_dtype(o.dtype) else o for o in outs]
+        return outs
+
+    # ------------------------------------------------------------- compiled
+    def _segment_fn(self, si: int) -> Callable:
+        seg = self.segments[si]
+        graph = self.graph
+
+        def fn(weights: List[Any], acts: Dict[str, Any]):
+            cdt = self.config.np_compute_dtype
+            env = {}
+            for k, v in acts.items():
+                if _is_float_dtype(v.dtype) and v.dtype != cdt:
+                    v = v.astype(cdt)
+                env[k] = v
+            weights_env = {w.name: v for w, v in zip(seg.weight_args, weights)}
+            for oi in seg.op_indices:
+                op = graph.ops[oi]
+                outs = self._eval_op(op, env, weights_env)
+                for spec, val in zip(op.outputs, outs):
+                    if spec.name:
+                        env[spec.name] = val
+            return {n: env[n] for n in seg.out_names}
+
+        return fn
+
+    def _compiled(self, si: int):
+        if self._jitted[si] is None:
+            # donation only pays off for large streamed buffers
+            donate = (
+                (0,)
+                if (
+                    self.config.donate_weights
+                    and self.config.hbm_budget_bytes > 0
+                    and self.segments[si].weight_bytes > (1 << 24)
+                )
+                else ()
+            )
+            self._jitted[si] = jax.jit(self._segment_fn(si), donate_argnums=donate)
+        return self._jitted[si]
+
+    # ------------------------------------------------------------------ runs
+    def _prepare_inputs(self, inputs: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        prepared = {}
+        for k, aval in self.plan.input_avals.items():
+            if k not in inputs:
+                raise KeyError(f"missing graph input {k!r}")
+            v = np.asarray(inputs[k])
+            if _is_float_dtype(v.dtype) and v.dtype != aval.dtype:
+                v = v.astype(aval.dtype)
+            prepared[k] = jax.device_put(v, self._device)
+        return prepared
+
+    def run(self, inputs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """Compiled segmented run. Returns float outputs as float32
+        (reference converts outputs to fp32 at end of run,
+        src/onnxstream.cpp:8217-8263)."""
+        if self._first_run_done:
+            self.provider.on_restart()
+        acts: Dict[str, Any] = self._prepare_inputs(inputs)
+        results: Dict[str, Any] = {}
+
+        # double-buffer: fetch segment 0 weights, then while segment k runs,
+        # fetch k+1 (device_put is async; the provider thread reads ahead).
+        next_weights = self._fetch_segment_weights(self.segments[0]) if self.segments else []
+        for si, seg in enumerate(self.segments):
+            weights = next_weights
+            seg_in = {n: (acts[n] if n in acts else results[n]) for n in seg.in_names}
+            # all graph inputs flow through the first segment's env too
+            if si == 0:
+                seg_in = {**acts, **seg_in}
+            fut = self._compiled(si)(weights, seg_in)
+            if si + 1 < len(self.segments):
+                next_weights = self._fetch_segment_weights(self.segments[si + 1])
+            results.update(fut)
+
+        self._first_run_done = True
+        out: Dict[str, np.ndarray] = {}
+        for name in self.plan.fetch_names:
+            if name in results:
+                v = np.asarray(results[name])
+            else:
+                v = np.asarray(self._resolve_static(name))
+            if _is_float_dtype(v.dtype) and v.dtype != np.float32:
+                v = v.astype(np.float32)
+            elif np.issubdtype(v.dtype, np.signedinteger) and v.dtype != np.int64:
+                v = v.astype(np.int64)  # wire integer dtype is int64
+            out[name] = v
+        return out
+
+    def run_eager(
+        self,
+        inputs: Dict[str, np.ndarray],
+        observer: Optional[Callable[[OpNode, List[Any]], None]] = None,
+    ) -> Dict[str, np.ndarray]:
+        """Per-op interpreter (no jit): debugging, calibration, test oracle.
+
+        Implements ops_printf (reference src/onnxstream.cpp:3759-3762),
+        ops_times_printf (8199-8214) and range calibration (2983-3004).
+        """
+        if self._first_run_done:
+            self.provider.on_restart()
+        cdt = self.config.np_compute_dtype
+        env: Dict[str, Any] = {}
+        for k, aval in self.plan.input_avals.items():
+            v = np.asarray(inputs[k])
+            if _is_float_dtype(v.dtype) and v.dtype != aval.dtype:
+                v = v.astype(aval.dtype)
+            env[k] = jnp.asarray(v)
+
+        weights_env: Dict[str, Any] = {}
+        for w in self.plan.arg_weights:
+            arr = self.provider.get(w.name, w.file_dtype, w.shape)
+            weights_env[w.name] = jnp.asarray(
+                arr if w.quant is not None else arr.astype(w.upload_dtype)
+            )
+
+        for oi, op in enumerate(self.graph.ops):
+            if self.plan.op_modes[oi] != "device":
+                continue
+            if self.config.ops_printf:
+                print(f"#{oi}) {op.op_type} ({op.name})")
+            t0 = time.perf_counter() if self.config.ops_times_printf else 0.0
+            outs = self._eval_op(op, env, weights_env)
+            if self.config.ops_times_printf:
+                jax.block_until_ready(outs)
+                self.ops_times[op.op_type] = self.ops_times.get(op.op_type, 0.0) + (
+                    time.perf_counter() - t0
+                ) * 1e3
+            if observer is not None:
+                observer(op, outs)
+            if self.config.range_data_calibrate:
+                for o in outs:
+                    if _is_float_dtype(o.dtype):
+                        self.range_data.observe(op.name, np.asarray(o, dtype=np.float32))
+            for spec, val in zip(op.outputs, outs):
+                if spec.name:
+                    env[spec.name] = val
+
+        self._first_run_done = True
+        out = {}
+        for name in self.plan.fetch_names:
+            v = np.asarray(env[name]) if name in env else np.asarray(self._resolve_static(name))
+            if _is_float_dtype(v.dtype) and v.dtype != np.float32:
+                v = v.astype(np.float32)
+            elif np.issubdtype(v.dtype, np.signedinteger) and v.dtype != np.int64:
+                v = v.astype(np.int64)
+            out[name] = v
+        if self.config.ops_times_printf and self.ops_times:
+            for t, ms in sorted(self.ops_times.items(), key=lambda kv: -kv[1]):
+                print(f"{t}: {ms:.1f} ms")
+        return out

@@ -1,0 +1,304 @@
+"""Graph planner: host/device partial evaluation.
+
+The reference is an eager interpreter, so int64 shape math, Python-side
+constants and float compute all execute the same way (src/onnxstream.cpp
+run loop, 3550-8269). XLA instead wants one statically-shaped computation.
+The planner walks the parsed Graph once per input-shape bucket and decides,
+per op:
+
+  * ``host``  — every input is statically known and the op is foldable: run it
+    now with numpy; the result lives in ``static_env`` (shape/index math,
+    int64 weights, mask construction, ...);
+  * ``device`` — staged into the XLA program; output shapes/dtypes come from
+    ``jax.eval_shape`` over the jnp implementation, and are verified against
+    the shapes recorded in model.txt (the reference's check_output_shape,
+    src/onnxstream.cpp:3070-3089, executed at plan time instead of run time).
+
+Ops that demand a static operand (Reshape shapes, Resize scales, Slice
+bounds, ...) raise StaticRequired; the planner reacts by loading that weight
+eagerly and pinning it host-side, so it never becomes a device argument.
+
+Weights that stay dynamic become ordered streaming arguments: the plan records
+(name, upload dtype, quantization) per argument, in first-use order — the same
+order the reference announces to WeightsProvider::on_init
+(src/onnxstream.cpp:3499-3548).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from onnxstream_tpu.dtypes import DType
+from onnxstream_tpu.ir import Graph, OpNode, TensorSpec
+from onnxstream_tpu.ops import Ctx, StaticRequired, get_impl
+from onnxstream_tpu.runtime.config import SessionConfig
+
+
+class PlanError(Exception):
+    pass
+
+
+@dataclasses.dataclass
+class WeightArg:
+    name: str
+    file_dtype: DType
+    upload_dtype: Any  # np dtype for the device argument
+    shape: Tuple[int, ...]
+    quant: Optional[Tuple[float, int]] = None  # (scale, zero_point) if uint8
+
+
+@dataclasses.dataclass
+class Plan:
+    graph: Graph
+    config: SessionConfig
+    input_avals: Dict[str, jax.ShapeDtypeStruct]
+    static_env: Dict[str, np.ndarray]
+    static_weights: Dict[str, np.ndarray]
+    arg_weights: List[WeightArg]
+    op_modes: List[str]  # 'host' | 'device'
+    avals: Dict[str, jax.ShapeDtypeStruct]  # device tensor avals (by name)
+    fetch_names: List[str]
+
+    @property
+    def arg_weight_index(self) -> Dict[str, int]:
+        return {w.name: i for i, w in enumerate(self.arg_weights)}
+
+    def stream_entries(self):
+        """(name, dtype, shape) in stream order, for WeightsProvider.on_init."""
+        return [(w.name, w.file_dtype, w.shape) for w in self.arg_weights]
+
+
+def _upload_dtype(spec: TensorSpec, config: SessionConfig):
+    """Pick the dtype a weight is uploaded to HBM in.
+
+    Float weights travel in the compute dtype (converted once on the host —
+    half the PCIe/HBM traffic at bf16, mirroring the reference's convert-on-
+    load under use_fp16_arithmetic, src/onnxstream.cpp:2885-2909). uint8 stays
+    uint8 and is dequantized on device. force_fp16_storage demotes storage
+    even under float32 compute (reference onnxstream.cpp:3764-3808).
+    """
+    if spec.dtype == DType.uint8:
+        return np.dtype(np.uint8)
+    if spec.dtype == DType.int64:
+        return np.dtype(np.int64)
+    if spec.dtype.is_float:
+        if config.force_fp16_storage and config.compute_dtype == "float32":
+            return np.dtype(np.float16)
+        return config.np_compute_dtype
+    return spec.dtype.np
+
+
+class _Planner:
+    def __init__(self, graph: Graph, config: SessionConfig, input_avals, weight_loader):
+        self.graph = graph
+        self.config = config
+        # float graph inputs are converted to the compute dtype at entry
+        # (the executor applies the same cast at run time)
+        cdt = config.np_compute_dtype
+        self.input_avals = {
+            k: (jax.ShapeDtypeStruct(v.shape, cdt) if np.issubdtype(v.dtype, np.floating) or str(v.dtype) in ("bfloat16", "float16") else v)
+            for k, v in input_avals.items()
+        }
+        self.load_weight = weight_loader  # (name, DType, shape) -> np.ndarray
+        self.static_env: Dict[str, np.ndarray] = {}
+        self.static_weights: Dict[str, np.ndarray] = {}
+        self.arg_weights: List[WeightArg] = []
+        self._arg_set: Dict[str, WeightArg] = {}
+        self.avals: Dict[str, jax.ShapeDtypeStruct] = {}
+        self.op_modes: List[str] = []
+
+    # -- value resolution ----------------------------------------------------
+    def _resolve(self, spec: TensorSpec):
+        """Return ('none',None) | ('static',np) | ('sym',aval) | ('weight',spec)."""
+        if not spec.name:
+            return ("none", None)
+        if spec.is_weight:
+            if spec.name in self.static_weights:
+                return ("static", self.static_weights[spec.name])
+            if spec.name in self._arg_set:
+                w = self._arg_set[spec.name]
+                dt = self.config.np_compute_dtype if (w.quant or w.file_dtype.is_float) else w.upload_dtype
+                return ("sym", jax.ShapeDtypeStruct(w.shape, dt))
+            # undecided weight: int64 weights are shape math -> always static
+            if spec.dtype == DType.int64:
+                self._pin_static_weight(spec)
+                return ("static", self.static_weights[spec.name])
+            return ("weight", spec)
+        if spec.name in self.static_env:
+            return ("static", self.static_env[spec.name])
+        if spec.name in self.avals:
+            return ("sym", self.avals[spec.name])
+        if spec.name in self.input_avals:
+            return ("sym", self.input_avals[spec.name])
+        raise PlanError(f"tensor {spec.name!r} consumed before being produced")
+
+    def _pin_static_weight(self, spec: TensorSpec) -> None:
+        arr = self.load_weight(spec.name, spec.dtype, spec.shape)
+        if spec.dtype == DType.uint8:
+            arr = ((arr.astype(np.float32) - spec.zero_point) * spec.scale).astype(np.float32)
+        self.static_weights[spec.name] = arr
+
+    def _promote_weight_to_arg(self, spec: TensorSpec) -> WeightArg:
+        w = self._arg_set.get(spec.name)
+        if w is None:
+            quant = (spec.scale, spec.zero_point) if spec.dtype == DType.uint8 else None
+            w = WeightArg(
+                name=spec.name,
+                file_dtype=spec.dtype,
+                upload_dtype=_upload_dtype(spec, self.config),
+                shape=spec.shape,
+                quant=quant,
+            )
+            self._arg_set[spec.name] = w
+            self.arg_weights.append(w)
+        return w
+
+    # -- per-op planning -------------------------------------------------------
+    def plan_op(self, op: OpNode) -> None:
+        impl = get_impl(op.op_type)
+        resolved = [self._resolve(t) for t in op.inputs]
+
+        # Shape folds from metadata even over device tensors.
+        if op.op_type == "Shape":
+            kind, val = resolved[0]
+            if kind == "static":
+                shape = np.shape(val)
+            elif kind == "sym":
+                shape = val.shape
+            elif kind == "weight":
+                shape = op.inputs[0].shape
+            else:
+                raise PlanError(f"{op.name}: Shape of missing input")
+            out = np.asarray(shape, dtype=np.int64)
+            self._finish_host(op, [out])
+            return
+
+        # Host folding: all inputs static (undecided weights block folding
+        # unless the op itself later demands them static).
+        if impl.host and all(k in ("static", "none") for k, _ in resolved):
+            ins = [v for _, v in resolved]
+            ctx = Ctx(np, "host", self.config, op.name)
+            try:
+                outs = impl.fn(ctx, op, ins)
+            except StaticRequired as e:
+                raise PlanError(f"{op.name}: host fold failed: {e}") from e
+            self._finish_host(op, [np.asarray(o) for o in outs])
+            return
+
+        # Device op. Undecided weights default to args; StaticRequired demotes
+        # them to host constants and retries.
+        for _attempt in range(len(op.inputs) + 1):
+            ins: List[Any] = []
+            sym_slots: List[int] = []
+            sym_avals: List[jax.ShapeDtypeStruct] = []
+            kinds = [self._resolve(t) for t in op.inputs]
+            for i, (kind, val) in enumerate(kinds):
+                if kind == "none":
+                    ins.append(None)
+                elif kind == "static":
+                    ins.append(val)
+                elif kind == "sym":
+                    ins.append(None)  # placeholder, filled by eval_shape args
+                    sym_slots.append(i)
+                    sym_avals.append(val)
+                elif kind == "weight":
+                    spec = op.inputs[i]
+                    aval = jax.ShapeDtypeStruct(
+                        spec.shape,
+                        self.config.np_compute_dtype if spec.dtype.is_float or spec.dtype == DType.uint8
+                        else spec.dtype.np,
+                    )
+                    ins.append(None)
+                    sym_slots.append(i)
+                    sym_avals.append(aval)
+
+            def run(*sym_vals):
+                local = list(ins)
+                for slot, v in zip(sym_slots, sym_vals):
+                    local[slot] = v
+                ctx = Ctx(jnp, "device", self.config, op.name)
+                return impl.fn(ctx, op, local)
+
+            try:
+                out_avals = jax.eval_shape(run, *sym_avals)
+                break
+            except StaticRequired as e:
+                spec = op.inputs[e.index]
+                if spec.is_weight and spec.name not in self.static_weights:
+                    self._pin_static_weight(spec)
+                    continue
+                raise PlanError(
+                    f"{op.name} ({op.op_type}): input {e.index} ({spec.name!r}) must be "
+                    f"statically known but is a runtime tensor — this graph needs "
+                    f"dynamic-shape bucketing"
+                ) from e
+        else:
+            raise PlanError(f"{op.name}: could not satisfy static input requirements")
+
+        # commit: promote undecided weights used dynamically to args
+        for i, (kind, _) in enumerate(kinds):
+            if kind == "weight":
+                self._promote_weight_to_arg(op.inputs[i])
+
+        self.op_modes.append("device")
+        outs = list(out_avals) if isinstance(out_avals, (list, tuple)) else [out_avals]
+        self._check_and_store(op, outs, device=True)
+
+    def _finish_host(self, op: OpNode, outs: List[np.ndarray]) -> None:
+        self.op_modes.append("host")
+        self._check_and_store(op, outs, device=False)
+
+    def _check_and_store(self, op: OpNode, outs, device: bool) -> None:
+        if len(outs) != len(op.outputs):
+            raise PlanError(f"{op.name}: impl produced {len(outs)} outputs, expected {len(op.outputs)}")
+        for spec, out in zip(op.outputs, outs):
+            got = tuple(int(d) for d in out.shape)
+            want = spec.shape
+            if self.config.strict_shapes and want and not spec.has_dynamic_dims and got != want:
+                raise PlanError(
+                    f"{op.name} ({op.op_type}): output {spec.name!r} shape {got} != "
+                    f"declared {want} (check_output_shape)"
+                )
+            if device:
+                self.avals[spec.name] = jax.ShapeDtypeStruct(got, out.dtype)
+            else:
+                self.static_env[spec.name] = out
+
+    def plan(self, fetch_names: Sequence[str]) -> Plan:
+        for op in self.graph.ops:
+            try:
+                self.plan_op(op)
+            except PlanError:
+                raise
+            except Exception as e:
+                raise PlanError(f"{op.name} ({op.op_type}): {type(e).__name__}: {e}") from e
+        return Plan(
+            graph=self.graph,
+            config=self.config,
+            input_avals=self.input_avals,
+            static_env=self.static_env,
+            static_weights=self.static_weights,
+            arg_weights=self.arg_weights,
+            op_modes=self.op_modes,
+            avals=self.avals,
+            fetch_names=list(fetch_names),
+        )
+
+
+def plan_graph(
+    graph: Graph,
+    config: SessionConfig,
+    input_avals: Dict[str, jax.ShapeDtypeStruct],
+    weight_loader,
+    fetch_names: Optional[Sequence[str]] = None,
+) -> Plan:
+    if fetch_names is None:
+        fetch_names = graph.output_names() + [n for n in config.extra_outputs if n not in graph.output_names()]
+    else:
+        fetch_names = list(fetch_names)
+    return _Planner(graph, config, input_avals, weight_loader).plan(fetch_names)

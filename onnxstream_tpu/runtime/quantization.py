@@ -1,0 +1,112 @@
+"""Percentile-based asymmetric uint8 quantization.
+
+Reproduces the reference's quantization math exactly:
+
+  * percentile range estimation — the reference sorts float bit patterns to
+    find the 0.1% tails per chunk (FloatAsUInt::get_percentiles,
+    src/onnxstream.cpp:2223-2386). numpy's partition gives the same result
+    directly on the host; on-device calibration uses jnp.percentile.
+  * range_to_scale — forces the range to include zero and derives
+    (scale, zero_point) (src/onnxstream.cpp:3234-3245);
+  * quantize/dequantize — asymmetric uint8 (src/onnxstream.cpp:3247, 3353);
+  * calibration persistence — range_data.txt CSV, one `op_name,min,max` per
+    line (read_range_data/write_range_data, src/onnxstream.cpp:3436-3479).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def get_percentiles(arr: np.ndarray, from_left: float = 0.001, from_right: float = 0.001) -> Tuple[float, float]:
+    """Return (low, high) percentile values, ignoring non-finite entries.
+
+    Matches the converter/runtime convention: index len*from_left from the
+    left and len*from_right+1 from the right of the sorted finite values
+    (reference src/onnxstream.cpp:3104-3232 and onnx2txt.ipynb quantize()).
+    """
+    flat = np.asarray(arr, dtype=np.float32).reshape(-1)
+    finite = flat[np.isfinite(flat)]
+    if finite.size == 0:
+        return 0.0, 0.0
+    if finite.size == 1:
+        v = float(finite[0])
+        return v, v
+    k_lo = int(finite.size * from_left)
+    k_hi = finite.size - 1 - int(finite.size * from_right)
+    k_hi = max(k_hi, k_lo)
+    lo = float(np.partition(finite, k_lo)[k_lo])
+    hi = float(np.partition(finite, k_hi)[k_hi])
+    if hi < lo:
+        lo, hi = hi, lo
+    return lo, hi
+
+
+def range_to_scale(lo: float, hi: float) -> Tuple[float, int]:
+    """(min,max) -> (scale, zero_point), forcing the range to include 0
+    (reference src/onnxstream.cpp:3234-3245)."""
+    if lo > 0 and hi > 0:
+        lo = 0.0
+    elif lo < 0 and hi < 0:
+        hi = 0.0
+    if hi <= lo:
+        return abs(hi) or 1.0, 0
+    scale = (hi - lo) / 255.0
+    if scale == 0.0:
+        return 1.0, 0
+    zero = int(round(abs(lo) / scale))
+    return scale, min(zero, 255)
+
+
+def quantize(arr: np.ndarray, scale: float, zero_point: int) -> np.ndarray:
+    q = np.asarray(arr, dtype=np.float32) / scale + zero_point
+    return np.clip(np.rint(q), 0, 255).astype(np.uint8)
+
+
+def dequantize(arr: np.ndarray, scale: float, zero_point: int, dtype=np.float32) -> np.ndarray:
+    return ((np.asarray(arr, dtype=np.float32) - zero_point) * scale).astype(dtype)
+
+
+def quantize_weight_percentile(arr: np.ndarray) -> Tuple[np.ndarray, float, int]:
+    """Offline percentile quantization of one weight tensor, matching the
+    converter's quantize() (onnx2txt.ipynb) and force_uint8_storage."""
+    lo, hi = get_percentiles(arr)
+    scale, zero = range_to_scale(lo, hi)
+    return quantize(arr, scale, zero), scale, zero
+
+
+class RangeData:
+    """Calibration ranges per op name, with the reference's CSV persistence."""
+
+    def __init__(self) -> None:
+        self.data: Dict[str, Tuple[float, float]] = {}
+
+    def observe(self, op_name: str, arr) -> None:
+        lo, hi = get_percentiles(np.asarray(arr))
+        if op_name in self.data:
+            plo, phi = self.data[op_name]
+            lo, hi = min(lo, plo), max(hi, phi)
+        self.data[op_name] = (lo, hi)
+
+    def scale_zp(self, op_name: str) -> Tuple[float, int]:
+        lo, hi = self.data[op_name]
+        return range_to_scale(lo, hi)
+
+    def write(self, path: str) -> None:
+        with open(path, "w") as f:
+            for name, (lo, hi) in self.data.items():
+                f.write(f"{name},{lo:.9g},{hi:.9g}\n")
+
+    @classmethod
+    def read(cls, path: str) -> "RangeData":
+        rd = cls()
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                name, lo, hi = line.rsplit(",", 2)
+                rd.data[name] = (float(lo), float(hi))
+        return rd

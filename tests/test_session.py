@@ -1,0 +1,174 @@
+"""Session/planner/executor integration tests, ending in the real YOLOv8n E2E."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from onnxstream_tpu.ir import parse_model_txt
+from onnxstream_tpu.runtime.config import SessionConfig
+from onnxstream_tpu.runtime.session import Session
+from onnxstream_tpu.runtime.weights import DictWeightsProvider
+
+from conftest import YOLO_DIR, has_yolo
+
+
+def make_session(model_txt, weights, config=None):
+    s = Session(config=config or SessionConfig(), weights_provider=DictWeightsProvider(weights))
+    s.read_string(model_txt)
+    return s
+
+
+SILU_MODEL = """\
+c1:Conv*input:x(1,3,8,8);w.bin(float32:4,3,3,3);b.bin(float32:4)*output:h(1,4,8,8)*dilations:1,1;group:1;kernel_shape:3,3;pads:1,1,1,1;strides:1,1
+s1:Sigmoid*input:h(1,4,8,8)*output:hs(1,4,8,8)
+m1:Mul*input:h(1,4,8,8);hs(1,4,8,8)*output:y(1,4,8,8)
+"""
+
+
+def silu_weights(seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "w.bin": rng.randn(4, 3, 3, 3).astype(np.float32),
+        "b.bin": rng.randn(4).astype(np.float32),
+    }
+
+
+def test_silu_graph_matches_torch():
+    w = silu_weights()
+    s = make_session(SILU_MODEL, w)
+    x = np.random.RandomState(1).randn(1, 3, 8, 8).astype(np.float32)
+    s.add_tensor("x", x)
+    out = s.run()["y"]
+    ref = torch.tensor(x)
+    ref = F.conv2d(ref, torch.tensor(w["w.bin"]), torch.tensor(w["b.bin"]), padding=1)
+    ref = ref * torch.sigmoid(ref)
+    np.testing.assert_allclose(out, ref.numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_eager_matches_jit():
+    w = silu_weights()
+    x = np.random.RandomState(1).randn(1, 3, 8, 8).astype(np.float32)
+    s1 = make_session(SILU_MODEL, w)
+    s1.add_tensor("x", x)
+    jit_out = s1.run()["y"]
+    s2 = make_session(SILU_MODEL, w)
+    s2.add_tensor("x", x)
+    eager_out = s2.run(eager=True)["y"]
+    np.testing.assert_allclose(jit_out, eager_out, rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_compute():
+    w = silu_weights()
+    s = make_session(SILU_MODEL, w, SessionConfig(compute_dtype="bfloat16"))
+    x = np.random.RandomState(1).randn(1, 3, 8, 8).astype(np.float32)
+    s.add_tensor("x", x)
+    out = s.run()["y"]
+    assert out.dtype == np.float32  # outputs restored to fp32 (reference parity)
+    s32 = make_session(SILU_MODEL, w)
+    s32.add_tensor("x", x)
+    ref = s32.run()["y"]
+    np.testing.assert_allclose(out, ref, rtol=0.1, atol=0.1)
+
+
+HOST_MATH_MODEL = """\
+sh:Shape*input:x(2,3,4)*output:shp(3)
+g:Gather*input:shp(3);idx.bin(int64:1)*output:d1(1)*axis:0
+c:Concat*input:d1(1);two.bin(int64:1)*output:ns(2)*axis:0
+r:Reshape*input:x(2,3,4);ns(2)*output:y(3,8)
+"""
+
+
+def test_host_shape_math_is_folded():
+    w = {"idx.bin": np.array([1], np.int64), "two.bin": np.array([8], np.int64)}
+    s = make_session(HOST_MATH_MODEL, w)
+    x = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    s.add_tensor("x", x)
+    out = s.run()["y"]
+    np.testing.assert_allclose(out, x.reshape(3, 8))
+    ex = s._executor()
+    # the Shape/Gather/Concat chain ran on the host; only Reshape is a device op
+    assert ex.plan.op_modes == ["host", "host", "host", "device"]
+    # int64 weights were pinned host-side, never uploaded
+    assert not ex.plan.arg_weights or all(wt.file_dtype.value != "int64" for wt in ex.plan.arg_weights)
+
+
+def test_static_required_weight_pinned():
+    # Resize scales arrive as a float32 weight: the planner must pin it host-side
+    model = (
+        "r:Resize*input:x(1,2,4,4);;sc.bin(float32:4)*output:y(1,2,8,8)"
+        "*coordinate_transformation_mode:asymmetric;mode:nearest;nearest_mode:floor\n"
+    )
+    w = {"sc.bin": np.array([1, 1, 2, 2], np.float32)}
+    s = make_session(model, w)
+    x = np.random.RandomState(0).randn(1, 2, 4, 4).astype(np.float32)
+    s.add_tensor("x", x)
+    out = s.run()["y"]
+    assert out.shape == (1, 2, 8, 8)
+    ex = s._executor()
+    assert "sc.bin" in ex.plan.static_weights
+
+
+def test_declared_shape_mismatch_raises():
+    bad = SILU_MODEL.replace("y(1,4,8,8)", "y(1,4,9,9)")
+    s = make_session(bad, silu_weights())
+    s.add_tensor("x", np.zeros((1, 3, 8, 8), np.float32))
+    from onnxstream_tpu.runtime.planner import PlanError
+
+    with pytest.raises(PlanError, match="check_output_shape"):
+        s.run()
+
+
+def test_segmented_streaming_matches_single_segment():
+    # force multiple segments with a tiny HBM budget
+    w = silu_weights()
+    x = np.random.RandomState(1).randn(1, 3, 8, 8).astype(np.float32)
+    model = SILU_MODEL + (
+        "c2:Conv*input:y(1,4,8,8);w2.bin(float32:4,4,1,1);b2.bin(float32:4)*output:z(1,4,8,8)"
+        "*dilations:1,1;group:1;kernel_shape:1,1;pads:0,0,0,0;strides:1,1\n"
+    )
+    rng = np.random.RandomState(7)
+    w["w2.bin"] = rng.randn(4, 4, 1, 1).astype(np.float32)
+    w["b2.bin"] = rng.randn(4).astype(np.float32)
+
+    s_full = make_session(model, dict(w))
+    s_full.add_tensor("x", x)
+    ref = s_full.run()["z"]
+
+    cfg = SessionConfig(hbm_budget_bytes=460)  # conv1 weights ~448 B, conv2 ~80 B
+    s_seg = make_session(model, dict(w), cfg)
+    s_seg.add_tensor("x", x)
+    out = s_seg.run()["z"]
+    ex = s_seg._executor()
+    assert len(ex.segments) >= 2
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    # second run must also work (provider restart path)
+    out2 = s_seg.run()["z"]
+    np.testing.assert_allclose(out2, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_weights_manifest():
+    s = make_session(SILU_MODEL, silu_weights())
+    m = s.get_weights_names()
+    assert m == "float32:w.bin|float32:b.bin"
+
+
+@pytest.mark.skipif(not has_yolo(), reason="reference YOLO model not present")
+def test_yolo_e2e():
+    """Full real-model E2E: YOLOv8n 640x640, jitted vs eager oracle."""
+    cfg = SessionConfig()
+    s = Session(config=cfg, weights_provider_name="ram+prefetch")
+    s.read_file(YOLO_DIR + "model.txt")
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 3, 640, 640).astype(np.float32)
+    s.add_tensor("images", x)
+    out = s.run()
+    (y,) = out.values()
+    assert y.shape == (1, 84, 8400)
+    # box coords (first 4 rows) finite, class scores (rows 4:) in [0,1] (post-sigmoid)
+    assert np.isfinite(y).all()
+    assert (y[:, 4:, :] >= 0).all() and (y[:, 4:, :] <= 1).all()
+
+    eager = s.run(eager=True)
+    (y2,) = eager.values()
+    np.testing.assert_allclose(y, y2, rtol=1e-3, atol=1e-3)
