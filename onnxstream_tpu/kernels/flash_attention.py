@@ -1,9 +1,17 @@
 """Blockwise Pallas flash-attention kernel (TPU).
 
-Subsumes the reference's attention slicing (src/onnxstream.cpp:6696-6928) and
-fused SDPA (src/onnxstream.cpp:7767-7882): the (M, N) score matrix only ever
-exists one (block_q, block_kv) tile at a time in VMEM, with the online-softmax
-running max/denominator carried across KV blocks.
+Subsumes both reference attention accelerations with one kernel:
+
+  * attention slicing (reference src/onnxstream.cpp:6696-6928) — the (M, N)
+    score matrix exists only one (block_q, block_kv) tile at a time in VMEM,
+    so the 512 MB (8,4096,4096) UNet tensor (reference README.md:151-159)
+    never materializes;
+  * fused SDPA with GQA + additive mask (src/onnxstream.cpp:7767-7882).
+
+Online softmax: running row-max and row-sum are carried across KV blocks in
+VMEM scratch; the output block is rescaled incrementally and written once on
+the last KV step. Head dims are zero-padded to a lane multiple (128) outside
+the kernel; KV length is padded to the block size with column masking inside.
 """
 
 from __future__ import annotations
@@ -18,6 +26,137 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+NEG_INF = -1e30
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _fa_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    mask_ref,
+    o_ref,
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    scale: float,
+    causal: bool,
+    n_valid: int,
+    block_n: int,
+    offset: int,
+    precision=None,
+):
+    nj = pl.num_programs(2)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)  # (bm, d)
+    k = k_ref[0].astype(jnp.float32)  # (bn, d)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision,
+    )  # (bm, bn)
+    s = s * scale
+
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_n
+    if n_valid % block_n != 0:
+        s = jnp.where(col < n_valid, s, NEG_INF)
+    if mask_ref is not None:
+        s = s + mask_ref[0].astype(jnp.float32)
+    if causal:
+        i = pl.program_id(1)
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * q.shape[0]
+        s = jnp.where(col <= row + offset, s, NEG_INF)
+
+    m_prev = m_scr[...]  # (bm, 128) replicated
+    m_cur = jnp.max(s, axis=1, keepdims=True)  # (bm, 1)
+    m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+    corr = jnp.exp(m_prev - m_new)  # (bm, 128)
+    p = jnp.exp(s - m_new[:, :1])  # (bm, bn)
+
+    l_new = l_scr[...] * corr + jnp.broadcast_to(jnp.sum(p, axis=1, keepdims=True), m_prev.shape)
+    v = v_ref[0].astype(jnp.float32)  # (bn, dv)
+    pv = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    acc_scr[...] = acc_scr[...] * corr[:, :1] + pv
+    m_scr[...] = m_new
+    l_scr[...] = l_new
+
+    @pl.when(j == nj - 1)
+    def _finish():
+        denom = l_scr[...][:, :1]
+        denom = jnp.where(denom == 0.0, 1.0, denom)
+        o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
+
+
+def _flash_call(q, k, v, mask, scale, causal, n_valid, block_m, block_n, offset, interpret=False):
+    # fp32 inputs get true-fp32 MXU passes (parity with the op library's
+    # _mxu_precision policy); bf16 inputs use the fast path.
+    precision = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+    """q: (BH, Mp, Dp), k/v: (BHkv, Np, Dp), mask: None | (G, Mp, Np)."""
+    bh, mp, dp = q.shape
+    bhkv, npad, _ = k.shape
+    dv = v.shape[-1]
+    rep = bh // bhkv
+    grid = (bh, mp // block_m, npad // block_n)
+
+    in_specs = [
+        pl.BlockSpec((1, block_m, dp), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, block_n, dp), lambda b, i, j, rep=rep: (b // rep, j, 0)),
+        pl.BlockSpec((1, block_n, dv), lambda b, i, j, rep=rep: (b // rep, j, 0)),
+    ]
+    args = [q, k, v]
+    if mask is not None:
+        g = mask.shape[0]
+        grp = bh // g
+        in_specs.append(pl.BlockSpec((1, block_m, block_n), lambda b, i, j, grp=grp: (b // grp, i, j)))
+        args.append(mask)
+        kernel = functools.partial(
+            _fa_kernel, scale=scale, causal=causal, n_valid=n_valid, block_n=block_n,
+            offset=offset, precision=precision,
+        )
+    else:
+        kernel = functools.partial(
+            lambda qr, kr, vr, o, m, l, a, **kw: _fa_kernel(qr, kr, vr, None, o, m, l, a, **kw),
+            scale=scale,
+            causal=causal,
+            n_valid=n_valid,
+            block_n=block_n,
+            offset=offset,
+            precision=precision,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_m, dv), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, mp, dv), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_m, 128), jnp.float32),
+            pltpu.VMEM((block_m, 128), jnp.float32),
+            pltpu.VMEM((block_m, dv), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * bh * mp * npad * dp,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=bh * mp * npad,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out
+
 
 def flash_attention(
     q,
@@ -27,7 +166,72 @@ def flash_attention(
     scale: Optional[float] = None,
     k_transposed: bool = False,
     causal: bool = False,
+    block_m: int = 256,
+    block_n: int = 512,
+    interpret: bool = False,
 ):
-    """Flash SDPA. Falls back (NotImplementedError) for shapes the kernel does
-    not yet tile; the caller uses the jnp reference path then."""
-    raise NotImplementedError("pallas flash attention kernel lands in the kernels milestone")
+    """Flash SDPA over (..., H, M, D) x (..., Hkv, N, D) -> (..., H, M, Dv).
+
+    Also accepts 3-D (H, M, D) inputs. GQA when H != Hkv. `mask` is an
+    additive mask broadcastable over heads: (M, N), (1/B, 1/H, M, N).
+    """
+    if k_transposed:
+        k = jnp.swapaxes(k, -1, -2)
+    if q.ndim == 3:
+        out = flash_attention(
+            q[None], k[None], v[None], mask=mask, scale=scale, causal=causal,
+            block_m=block_m, block_n=block_n, interpret=interpret,
+        )
+        return out[0]
+    if q.ndim != 4:
+        raise NotImplementedError(f"flash_attention: rank {q.ndim}")
+
+    b, h, m, d = q.shape
+    _, hkv, n, _ = k.shape
+    dv = v.shape[-1]
+    if h % hkv:
+        raise ValueError("GQA requires q_heads % kv_heads == 0")
+    if d % 8 or dv % 8:
+        raise NotImplementedError("head dims must be multiples of 8")
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+
+    block_m = min(block_m, _ceil_to(m, 8))
+    block_n = min(block_n, _ceil_to(n, 128))
+    mp = _ceil_to(m, block_m)
+    npad = _ceil_to(n, block_n)
+    dp = _ceil_to(d, 128)
+    dvp = _ceil_to(dv, 128)
+
+    qq = jnp.pad(q, ((0, 0), (0, 0), (0, mp - m), (0, dp - d))).reshape(b * h, mp, dp)
+    kk = jnp.pad(k, ((0, 0), (0, 0), (0, npad - n), (0, dp - d))).reshape(b * hkv, npad, dp)
+    vv = jnp.pad(v, ((0, 0), (0, 0), (0, npad - n), (0, dvp - dv))).reshape(b * hkv, npad, dvp)
+
+    mm = None
+    if mask is not None:
+        mask = jnp.asarray(mask)
+        if mask.ndim == 2:
+            mask = mask[None, None]
+        mb, mh, mm_, mn_ = mask.shape
+        if (mm_, mn_) != (m, n):
+            raise NotImplementedError(f"mask trailing dims {(mm_, mn_)} != {(m, n)}")
+        # pad with NEG_INF only on columns (rows beyond m are discarded)
+        mask = jnp.pad(mask, ((0, 0), (0, 0), (0, mp - m), (0, npad - n)), constant_values=NEG_INF)
+        # group layout must match q's batch-major (b, h) flattening
+        if (mb, mh) == (1, 1):
+            g = 1
+        elif mb == b and mh == 1:
+            g = b
+        elif mb == b and mh == h:
+            g = b * h
+        else:
+            mask = jnp.broadcast_to(mask, (b, h, mp, npad))
+            g = b * h
+        mm = mask.reshape(g, mp, npad).astype(jnp.float32)
+
+    out = _flash_call(
+        qq, kk, vv, mm, float(scale), causal, n, block_m, block_n, offset=n - m,
+        interpret=interpret,
+    )
+    out = out.reshape(b, h, mp, dvp)[:, :, :m, :dv]
+    return out.astype(q.dtype)

@@ -76,9 +76,9 @@ def _use_flash(config, q, k) -> bool:
         return False
     if platform not in ("tpu",):
         return False
-    # the Pallas kernel wants lane-aligned head dims and enough rows to tile
+    # head dims are zero-padded to the lane width inside the kernel
     d = q.shape[-1]
-    return d % 128 == 0 and q.shape[-2] >= 8
+    return d % 8 == 0 and q.shape[-2] >= 8 and q.ndim in (3, 4)
 
 
 @register("ostpu.sdpa")

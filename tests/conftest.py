@@ -1,12 +1,19 @@
 import os
 
 # Tests run on the CPU backend with a virtual 8-device mesh so multi-chip
-# sharding is exercised without TPU hardware. Must be set before jax imports
-# (and must override the environment's default TPU platform).
+# sharding is exercised without TPU hardware. The environment's sitecustomize
+# imports jax and registers the axon TPU plugin before conftest runs, so the
+# env var alone is too late — force the platform through jax.config (backends
+# are not initialized yet at this point).
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
 
 import sys
 

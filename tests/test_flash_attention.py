@@ -1,0 +1,105 @@
+"""SDPA correctness tests.
+
+CPU suite: the jnp reference path vs a float64 numpy oracle (fast).
+TPU suite: the Pallas kernel vs the same oracle — enabled with
+OSTPU_TPU_TESTS=1 (run via `JAX_PLATFORMS=axon OSTPU_TPU_TESTS=1 python -m
+pytest tests/test_flash_attention.py`); Pallas interpret mode on this 1-core
+host takes ~8 min/case, so it is not used.
+"""
+
+import math
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from onnxstream_tpu.ops.attention import sdpa_reference
+
+TPU_TESTS = os.environ.get("OSTPU_TPU_TESTS", "") == "1" and jax.default_backend() == "tpu"
+
+
+def oracle(q, k, v, mask=None, scale=None, causal=False):
+    q, k, v = (np.asarray(x, np.float64) for x in (q, k, v))
+    h, hkv = q.shape[1], k.shape[1]
+    if h != hkv:
+        k = np.repeat(k, h // hkv, axis=1)
+        v = np.repeat(v, h // hkv, axis=1)
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    s = np.einsum("bhmd,bhnd->bhmn", q, k) * scale
+    if mask is not None:
+        s = s + np.asarray(mask, np.float64)
+    if causal:
+        m, n = s.shape[-2:]
+        s = np.where(np.arange(n)[None, :] <= np.arange(m)[:, None] + (n - m), s, -1e30)
+    s = s - s.max(-1, keepdims=True)
+    p = np.exp(s)
+    p = p / p.sum(-1, keepdims=True)
+    return np.einsum("bhmn,bhnd->bhmd", p, v)
+
+
+CASES = [
+    # b, h, hkv, m, n, d, dv, mask, causal
+    ("basic", 1, 2, 2, 128, 128, 64, 64, None, False),
+    ("multiblock", 1, 2, 2, 192, 384, 64, 64, None, False),
+    ("unaligned", 1, 3, 3, 77, 391, 40, 40, None, False),
+    ("gqa", 1, 8, 2, 64, 256, 32, 32, None, False),
+    ("mask2d", 1, 2, 2, 70, 260, 64, 64, "2d", False),
+    ("maskB", 2, 4, 4, 64, 130, 64, 64, "b", False),
+    ("causal", 1, 2, 2, 128, 128, 64, 64, None, True),
+    ("decode", 1, 4, 4, 8, 136, 64, 64, None, True),
+]
+
+
+def _mk(case):
+    name, b, h, hkv, m, n, d, dv, mask_kind, causal = case
+    rng = np.random.RandomState(42)
+    q = rng.randn(b, h, m, d).astype(np.float32)
+    k = rng.randn(b, hkv, n, d).astype(np.float32)
+    v = rng.randn(b, hkv, n, dv).astype(np.float32)
+    mask = None
+    if mask_kind == "2d":
+        mask = np.where(rng.rand(m, n) > 0.3, 0.0, -1e30).astype(np.float32)
+        mask[:, 0] = 0.0
+    elif mask_kind == "b":
+        mask = np.where(rng.rand(b, 1, m, n) > 0.3, 0.0, -1e30).astype(np.float32)
+        mask[..., 0] = 0.0
+    return q, k, v, mask, causal
+
+
+@pytest.mark.parametrize("case", CASES, ids=[c[0] for c in CASES])
+def test_sdpa_reference_vs_oracle(case):
+    q, k, v, mask, causal = _mk(case)
+    ref = oracle(q, k, v, mask=mask, causal=causal)
+    out = sdpa_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        mask=None if mask is None else jnp.asarray(mask), causal=causal,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sdpa_k_transposed():
+    rng = np.random.RandomState(2)
+    q = rng.randn(2, 64, 32).astype(np.float32)
+    kt = rng.randn(2, 32, 96).astype(np.float32)
+    v = rng.randn(2, 96, 32).astype(np.float32)
+    ref = oracle(q[None], kt.transpose(0, 2, 1)[None], v[None])[0]
+    out = sdpa_reference(jnp.asarray(q), jnp.asarray(kt), jnp.asarray(v), k_transposed=True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(not TPU_TESTS, reason="set OSTPU_TPU_TESTS=1 on a TPU backend")
+@pytest.mark.parametrize("case", CASES, ids=[c[0] for c in CASES])
+def test_flash_kernel_vs_oracle_tpu(case):
+    from onnxstream_tpu.kernels.flash_attention import flash_attention
+
+    q, k, v, mask, causal = _mk(case)
+    ref = oracle(q, k, v, mask=mask, causal=causal)
+    out = flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        mask=None if mask is None else jnp.asarray(mask), causal=causal,
+        block_m=64, block_n=128,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)
