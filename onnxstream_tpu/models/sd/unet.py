@@ -1,0 +1,196 @@
+"""SD UNet architecture graphs (UNet2DConditionModel).
+
+Reconstructs the diffusers UNet the reference runs from converted ONNX
+(reference src/sd.cpp diffusion loop, README.md:128: SD1.5 UNet = 2050 ops /
+854M params), in the same decomposed text IR the converter produces. Configs:
+SD15 (the headline model), SDXL-base shapes, and a tiny config for tests.
+
+Graph inputs (SD1.5): sample (1,4,H/8,W/8), timestep (1,), encoder_hidden_states
+(1,77,768). SDXL adds text_embeds (1,1280) and time_ids (1,6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from onnxstream_tpu.convert.builder import GraphBuilder, T
+
+
+@dataclasses.dataclass
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    sample_size: int = 64  # latent H=W
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    cross_attention_dim: int = 768
+    attention_head_dim: Tuple[int, ...] = (8, 8, 8, 8)  # SD1.5: heads per level
+    # which levels get transformer blocks (SD1.5: all but the last down level)
+    attn_levels: Tuple[bool, ...] = (True, True, True, False)
+    transformer_layers: Tuple[int, ...] = (1, 1, 1, 0)
+    norm_groups: int = 32
+    context_len: int = 77
+    addition_embed_dim: int = 0  # SDXL: 2816 (text_embeds 1280 + time_ids 6*256)
+    head_dim_is_count: bool = True  # attention_head_dim holds the head COUNT (SD1.5)
+
+
+SD15 = UNetConfig()
+
+SDXL = UNetConfig(
+    sample_size=128,
+    block_out_channels=(320, 640, 1280),
+    layers_per_block=2,
+    cross_attention_dim=2048,
+    attention_head_dim=(5, 10, 20),
+    attn_levels=(False, True, True),
+    transformer_layers=(0, 2, 10),
+    context_len=77,
+    addition_embed_dim=2816,
+)
+
+TINY = UNetConfig(
+    sample_size=16,
+    block_out_channels=(32, 64),
+    layers_per_block=1,
+    cross_attention_dim=32,
+    attention_head_dim=(2, 2),
+    attn_levels=(True, True),
+    transformer_layers=(1, 1),
+    norm_groups=8,
+    context_len=7,
+)
+
+
+def build_unet(cfg: UNetConfig = SD15, batch: int = 1, seed: int = 0) -> GraphBuilder:
+    g = GraphBuilder(seed=seed)
+    ch0 = cfg.block_out_channels[0]
+    temb_dim = ch0 * 4
+    s = cfg.sample_size
+
+    sample = g.input("sample", (batch, cfg.in_channels, s, s))
+    timestep = g.input("timestep", (1,))
+    context = g.input("encoder_hidden_states", (batch, cfg.context_len, cfg.cross_attention_dim))
+
+    # --- timestep embedding: sin/cos projection computed in-graph -----------
+    half = ch0 // 2
+    freqs = np.exp(-math.log(10000.0) * np.arange(half, dtype=np.float32) / half)
+    t = g.emit("Unsqueeze", [timestep, g.weight("temb.unsq_axes", np.array([1], np.int64))], [(1, 1)], name="temb/unsq")
+    ang = g.mul(t, g.weight("temb.freqs", freqs.reshape(1, half)), name="temb/ang")
+    emb = g.concat([g.emit("Cos", [ang], [ang.shape]), g.emit("Sin", [ang], [ang.shape])], axis=-1, name="temb/cat")
+    temb = g.matmul_w(emb, temb_dim, name="temb/lin1")
+    temb = g.silu(temb)
+    temb = g.matmul_w(temb, temb_dim, name="temb/lin2")  # (1, temb_dim)
+
+    if cfg.addition_embed_dim:
+        # SDXL conditioning: pooled text embeds + fourier(time_ids) -> add to temb
+        add_cond = g.input("add_embeds", (batch, cfg.addition_embed_dim))
+        a = g.matmul_w(add_cond, temb_dim, name="add_emb/lin1")
+        a = g.silu(a)
+        a = g.matmul_w(a, temb_dim, name="add_emb/lin2")
+        temb = g.add(temb, a, name="add_emb/add")
+
+    def resblock(x: T, cout: int, name: str) -> T:
+        cin = x.shape[1]
+        h = g.group_norm(x, cfg.norm_groups, name=f"{name}/norm1")
+        h = g.silu(h)
+        h = g.conv(h, cout, 3, name=f"{name}/conv1")
+        e = g.silu(temb)
+        e = g.matmul_w(e, cout, name=f"{name}/time_emb")
+        e = g.reshape(e, (1, cout, 1, 1), name=f"{name}/time_r")
+        h = g.add(h, e, out_shape=h.shape, name=f"{name}/time_add")
+        h = g.group_norm(h, cfg.norm_groups, name=f"{name}/norm2")
+        h = g.silu(h)
+        h = g.conv(h, cout, 3, name=f"{name}/conv2")
+        if cin != cout:
+            x = g.conv(x, cout, 1, pad=0, name=f"{name}/shortcut")
+        return g.add(x, h, name=f"{name}/add")
+
+    def transformer(x: T, level: int, name: str) -> T:
+        b, c, h, w = x.shape
+        if cfg.head_dim_is_count:
+            heads = cfg.attention_head_dim[level]
+            dim_head = c // heads
+        else:
+            dim_head = cfg.attention_head_dim[level]
+            heads = c // dim_head
+        res = x
+        y = g.group_norm(x, cfg.norm_groups, name=f"{name}/norm")
+        y = g.conv(y, c, 1, pad=0, name=f"{name}/proj_in")
+        y = g.reshape(y, (b, c, h * w), name=f"{name}/flat")
+        y = g.transpose(y, (0, 2, 1), name=f"{name}/to_seq")
+        for d in range(cfg.transformer_layers[level]):
+            bn = f"{name}/blk{d}"
+            a = g.layer_norm(y, name=f"{bn}/ln1")
+            y = g.add(y, g.attention(a, heads=heads, dim_head=dim_head, name=f"{bn}/attn1"), name=f"{bn}/res1")
+            a = g.layer_norm(y, name=f"{bn}/ln2")
+            y = g.add(
+                y, g.attention(a, context=context, heads=heads, dim_head=dim_head, name=f"{bn}/attn2"), name=f"{bn}/res2"
+            )
+            a = g.layer_norm(y, name=f"{bn}/ln3")
+            ff = g.matmul_w(a, c * 8, name=f"{bn}/ff_in")  # GEGLU: 2 * 4c
+            gate, val = g.split(ff, [c * 4, c * 4], axis=-1)
+            ff = g.mul(g.gelu(gate), val, name=f"{bn}/geglu")
+            ff = g.matmul_w(ff, c, name=f"{bn}/ff_out")
+            y = g.add(y, ff, name=f"{bn}/res3")
+        y = g.transpose(y, (0, 2, 1), name=f"{name}/to_sp")
+        y = g.reshape(y, (b, c, h, w), name=f"{name}/unflat")
+        y = g.conv(y, c, 1, pad=0, name=f"{name}/proj_out")
+        return g.add(y, res, name=f"{name}/res")
+
+    # --- down path ------------------------------------------------------------
+    x = g.conv(sample, ch0, 3, name="conv_in")
+    skips: List[T] = [x]
+    n_levels = len(cfg.block_out_channels)
+    for lvl, cout in enumerate(cfg.block_out_channels):
+        for blk in range(cfg.layers_per_block):
+            x = resblock(x, cout, f"down{lvl}/res{blk}")
+            if cfg.attn_levels[lvl]:
+                x = transformer(x, lvl, f"down{lvl}/attn{blk}")
+            skips.append(x)
+        if lvl != n_levels - 1:
+            x = g.conv(x, cout, 3, stride=2, pad=1, name=f"down{lvl}/downsample")
+            skips.append(x)
+
+    # --- mid -------------------------------------------------------------------
+    mid_c = cfg.block_out_channels[-1]
+    mid_attn_level = n_levels - 1 if cfg.attn_levels[-1] else n_levels - 2
+    x = resblock(x, mid_c, "mid/res0")
+    x = transformer(x, mid_attn_level, "mid/attn")
+    x = resblock(x, mid_c, "mid/res1")
+
+    # --- up path -----------------------------------------------------------------
+    for lvl in reversed(range(n_levels)):
+        cout = cfg.block_out_channels[lvl]
+        for blk in range(cfg.layers_per_block + 1):
+            skip = skips.pop()
+            x = g.concat([x, skip], axis=1, name=f"up{lvl}/cat{blk}")
+            x = resblock(x, cout, f"up{lvl}/res{blk}")
+            if cfg.attn_levels[lvl]:
+                x = transformer(x, lvl, f"up{lvl}/attn{blk}")
+        if lvl != 0:
+            b, c, h, w = x.shape
+            x = g.emit(
+                "Resize",
+                [x, None, g.weight(f"up{lvl}.scales", np.array([1, 1, 2, 2], np.float32))],
+                [(b, c, h * 2, w * 2)],
+                {"coordinate_transformation_mode": "asymmetric", "mode": "nearest", "nearest_mode": "floor"},
+                name=f"up{lvl}/upsample",
+            )
+            x = g.conv(x, c, 3, name=f"up{lvl}/upconv")
+
+    x = g.group_norm(x, cfg.norm_groups, name="norm_out")
+    x = g.silu(x)
+    g.emit("Conv", [x, g.weight("conv_out.weight_nchw", g.randn(cfg.out_channels, x.shape[1], 3, 3)),
+                    g.weight("conv_out.bias", g.randn(cfg.out_channels, scale=0.01))],
+           [(batch, cfg.out_channels, s, s)],
+           {"dilations": "1,1", "group": 1, "kernel_shape": "3,3", "pads": "1,1,1,1", "strides": "1,1"},
+           name="conv_out", out_names=["out_sample"])
+    return g
+
+
+def param_count(g: GraphBuilder) -> int:
+    return sum(int(np.prod(a.shape)) for a in g.weights.values())

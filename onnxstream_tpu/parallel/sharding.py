@@ -1,0 +1,119 @@
+"""Sharding rules and sharded execution over a jax.sharding.Mesh.
+
+Strategy (scaling-book recipe: pick a mesh, annotate shardings, let XLA insert
+the collectives):
+
+  * **dp** axis: batch dimension of activations (data parallel);
+  * **tp** axis: weight matrices shard on their output/feature dimension —
+    2-D (din, dout) weights as P(None, "tp"), conv OIHW kernels as P("tp") on
+    the output-channel axis when divisible — XLA inserts all-gather/
+    reduce-scatter over ICI as needed.
+
+Because the executor's segment functions are pure (weights list + activations
+dict -> outputs dict), sharded inference and training reuse the exact same
+traced computation; only in_shardings change.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None, tp: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    if dp is None and tp is None:
+        # favor tensor parallelism within a host (ICI), data parallel on top
+        tp = 1
+        for cand in (8, 4, 2, 1):
+            if n % cand == 0:
+                tp = cand
+                break
+        dp = n // tp
+    elif dp is None:
+        dp = n // tp
+    elif tp is None:
+        tp = n // dp
+    assert dp * tp == n, (dp, tp, n)
+    arr = np.array(devs[:n]).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def shard_weight_spec(shape: Sequence[int], tp: int) -> P:
+    """Pick a PartitionSpec for one weight tensor: shard the feature/output
+    axis over "tp" when divisible, otherwise replicate."""
+    shape = tuple(shape)
+    if len(shape) == 2 and shape[1] % tp == 0 and shape[1] >= tp * 8:
+        return P(None, "tp")
+    if len(shape) == 4 and shape[0] % tp == 0 and shape[0] >= tp * 8:
+        return P("tp", None, None, None)
+    if len(shape) == 1 and shape[0] % tp == 0 and shape[0] >= tp * 128:
+        return P("tp")
+    return P()
+
+
+def shard_weights(mesh: Mesh, shapes: Sequence[Sequence[int]]) -> List[NamedSharding]:
+    tp = mesh.shape["tp"]
+    return [NamedSharding(mesh, shard_weight_spec(s, tp)) for s in shapes]
+
+
+def activation_sharding(mesh: Mesh, shape: Sequence[int]) -> NamedSharding:
+    """Batch-dim data parallelism for activations when divisible."""
+    dp = mesh.shape["dp"]
+    if len(shape) >= 1 and shape[0] % dp == 0 and shape[0] > 0 and dp > 1:
+        return NamedSharding(mesh, P("dp", *([None] * (len(shape) - 1))))
+    return NamedSharding(mesh, P())
+
+
+@dataclasses.dataclass
+class TrainStep:
+    """A jitted, mesh-sharded training step over an executor's computation."""
+
+    fn: Any  # (weights_list, acts) -> loss, jitted with shardings
+    weight_shardings: List[NamedSharding]
+    mesh: Mesh
+
+
+def make_train_step(executor, output_name: str, mesh: Mesh, learning_rate: float = 1e-4):
+    """Build a sharded training step for a single-segment executor.
+
+    loss = MSE(model(weights, acts)[output_name], target). Weights are
+    TP-sharded, the batch is DP-sharded; optax adamw state is sharded like the
+    weights. Returns (step_fn, init_state_fn).
+
+    The reference has no training at all — this exists for the multi-chip
+    scaling path (fine-tuning / LoRA-style workflows on the same graphs).
+    """
+    import optax
+
+    assert len(executor.segments) == 1, "training uses single-segment plans"
+    seg_fn = executor._segment_fn(0)
+    opt = optax.adamw(learning_rate)
+
+    def loss_fn(weights, acts, target):
+        out = seg_fn(weights, acts)[output_name]
+        return jnp.mean(jnp.square(out.astype(jnp.float32) - target.astype(jnp.float32)))
+
+    def step(weights, opt_state, acts, target):
+        loss, grads = jax.value_and_grad(loss_fn)(weights, acts, target)
+        updates, opt_state = opt.update(grads, opt_state, weights)
+        weights = optax.apply_updates(weights, updates)
+        return weights, opt_state, loss
+
+    w_shardings = shard_weights(mesh, [w.shape for w in executor.plan.arg_weights])
+
+    def init(weights_np):
+        weights = [
+            jax.device_put(w.astype(np.float32), s) for w, s in zip(weights_np, w_shardings)
+        ]
+        opt_state = opt.init(weights)
+        return weights, opt_state
+
+    jstep = jax.jit(step, donate_argnums=(0, 1))
+    return jstep, init, w_shardings

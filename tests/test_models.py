@@ -1,0 +1,94 @@
+"""Model zoo tests: UNet graphs build, run, fuse attention, and shard."""
+
+import numpy as np
+import pytest
+import jax
+
+from onnxstream_tpu.models.sd.unet import build_unet, TINY, SD15, param_count
+from onnxstream_tpu.runtime.config import SessionConfig
+from onnxstream_tpu.runtime.session import Session
+from onnxstream_tpu.runtime.weights import DictWeightsProvider
+
+
+def tiny_session(config=None, batch=1):
+    g = build_unet(TINY, batch=batch)
+    s = Session(config=config or SessionConfig(), weights_provider=DictWeightsProvider(g.weights))
+    s.read_string(g.to_text())
+    return s, g
+
+
+def tiny_inputs(batch=1, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "sample": rng.rand(batch, 4, 16, 16).astype(np.float32),
+        "timestep": np.array([500.0], np.float32),
+        "encoder_hidden_states": rng.rand(batch, 7, 32).astype(np.float32),
+    }
+
+
+def test_tiny_unet_runs_and_fuses():
+    s, g = tiny_session()
+    n_sdpa = sum(1 for op in s.graph.ops if op.op_type == "ostpu.sdpa")
+    assert n_sdpa == 14  # 7 transformer sites x (self + cross)
+    for k, v in tiny_inputs().items():
+        s.add_tensor(k, v)
+    out = s.run()["out_sample"]
+    assert out.shape == (1, 4, 16, 16)
+    assert np.isfinite(out).all()
+
+
+def test_tiny_unet_fused_matches_unfused():
+    x = tiny_inputs()
+    s1, _ = tiny_session(SessionConfig(fuse_ops_in_attention=True))
+    for k, v in x.items():
+        s1.add_tensor(k, v)
+    fused = s1.run()["out_sample"]
+    s2, _ = tiny_session(SessionConfig(fuse_ops_in_attention=False))
+    assert not any(op.op_type == "ostpu.sdpa" for op in s2.graph.ops)
+    for k, v in x.items():
+        s2.add_tensor(k, v)
+    plain = s2.run()["out_sample"]
+    np.testing.assert_allclose(fused, plain, rtol=2e-4, atol=2e-4)
+
+
+def test_sd15_graph_shape():
+    # build only (no weights realization beyond numpy) — structure parity with
+    # the reference's documented SD1.5 UNet: ~2050 ops / 854M params
+    g = build_unet(SD15)
+    assert 1800 <= len(g.ops) <= 2300
+    assert abs(param_count(g) / 1e6 - 854) < 30
+
+
+def test_weights_shardable_over_mesh():
+    from onnxstream_tpu.parallel.sharding import make_mesh, shard_weights
+
+    g = build_unet(TINY)
+    mesh = make_mesh(8)
+    shapes = [a.shape for a in g.weights.values()]
+    shardings = shard_weights(mesh, shapes)
+    n_sharded = sum(1 for s in shardings if s.spec != jax.sharding.PartitionSpec())
+    assert n_sharded > 10  # the big matmul/conv weights shard over tp
+
+
+def test_sharded_forward_matches_single_device():
+    from onnxstream_tpu.parallel.sharding import make_mesh, shard_weights, activation_sharding
+
+    batch = 2
+    s, g = tiny_session(batch=batch)
+    x = tiny_inputs(batch=batch)
+    for k, v in x.items():
+        s.add_tensor(k, v)
+    ref = s.run()["out_sample"]
+
+    ex = s._executor()
+    fn = ex._segment_fn(0)
+    mesh = make_mesh(8, dp=2)
+    w_shardings = shard_weights(mesh, [w.shape for w in ex.plan.arg_weights])
+    weights = [
+        jax.device_put(np.asarray(ex.provider.get(w.name, w.file_dtype, w.shape)).astype(w.upload_dtype), sh)
+        for w, sh in zip(ex.plan.arg_weights, w_shardings)
+    ]
+    acts = {k: jax.device_put(v, activation_sharding(mesh, v.shape)) for k, v in x.items()}
+    with mesh:
+        out = np.asarray(jax.jit(fn)(weights, acts)["out_sample"], dtype=np.float32)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
