@@ -268,7 +268,7 @@ class Executor:
             if k not in inputs:
                 raise KeyError(f"missing graph input {k!r}")
             v = np.asarray(inputs[k])
-            if _is_float_dtype(v.dtype) and v.dtype != aval.dtype:
+            if v.dtype != aval.dtype:
                 v = v.astype(aval.dtype)
             prepared[k] = jax.device_put(v, self._device)
         return prepared
@@ -326,7 +326,7 @@ class Executor:
         env: Dict[str, Any] = {}
         for k, aval in self.plan.input_avals.items():
             v = np.asarray(inputs[k])
-            if _is_float_dtype(v.dtype) and v.dtype != aval.dtype:
+            if v.dtype != aval.dtype:
                 v = v.astype(aval.dtype)
             env[k] = jnp.asarray(v)
 

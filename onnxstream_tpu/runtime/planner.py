@@ -97,12 +97,20 @@ class _Planner:
     def __init__(self, graph: Graph, config: SessionConfig, input_avals, weight_loader):
         self.graph = graph
         self.config = config
-        # float graph inputs are converted to the compute dtype at entry
-        # (the executor applies the same cast at run time)
+        # float graph inputs are converted to the compute dtype at entry, and
+        # int64 inputs to int32 (device integers are 32-bit; the executor
+        # applies the same casts at run time)
         cdt = config.np_compute_dtype
+
+        def _in_dtype(dt):
+            if np.issubdtype(dt, np.floating) or str(dt) in ("bfloat16", "float16"):
+                return cdt
+            if dt == np.int64:
+                return np.dtype(np.int32)
+            return dt
+
         self.input_avals = {
-            k: (jax.ShapeDtypeStruct(v.shape, cdt) if np.issubdtype(v.dtype, np.floating) or str(v.dtype) in ("bfloat16", "float16") else v)
-            for k, v in input_avals.items()
+            k: jax.ShapeDtypeStruct(v.shape, _in_dtype(v.dtype)) for k, v in input_avals.items()
         }
         self.load_weight = weight_loader  # (name, DType, shape) -> np.ndarray
         self.static_env: Dict[str, np.ndarray] = {}
