@@ -1,0 +1,96 @@
+"""`llm` CLI — chat with llama-family models (reference src/llm.cpp:39-508).
+
+REPL with chatml (TinyLlama) / [INST] (Mistral) templating, greedy decoding,
+streamed tokens, and a device-resident bucketed KV cache. `--synthetic tiny`
+runs a small random-weight model for smoke testing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="llm", description=__doc__)
+    p.add_argument("--models-path", "-m", default="", help="folder with model weights (builder layout) + vocab.txt")
+    p.add_argument("--model", default="tinyllama", choices=["tinyllama", "mistral"])
+    p.add_argument("--synthetic", choices=["tiny"], default="")
+    p.add_argument("--prompt", default="", help="single-shot prompt (otherwise REPL)")
+    p.add_argument("--max-new-tokens", type=int, default=128)
+    p.add_argument("--compute-dtype", default="bfloat16", choices=["float32", "bfloat16", "float16"])
+    p.add_argument("--device", default="", choices=["", "cpu", "tpu"])
+    p.add_argument("--ops-printf", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from onnxstream_tpu.models.llm.llama import LLAMA_TINY, MISTRAL, TINYLLAMA
+    from onnxstream_tpu.models.llm.pipeline import LlamaPipeline
+    from onnxstream_tpu.models.llm.tokenizer import SentencePieceBPE
+
+    is_tiny = args.model == "tinyllama"
+    if args.synthetic:
+        cfg = LLAMA_TINY
+        # byte-level vocab so any ASCII prompt tokenizes
+        tokens = [(0, chr(i)) for i in range(256)]
+        tok = SentencePieceBPE(tokens, special=["<s>", "</s>", "[PAD]", "<|im_start|>", "<|im_end|>"])
+        pipe = LlamaPipeline(cfg, tokenizer=tok, compute_dtype="float32",
+                             buckets=[32, 64, 128], is_tiny_chat=True)
+    elif args.models_path:
+        import os
+
+        import numpy as np
+
+        cfg = TINYLLAMA if is_tiny else MISTRAL
+        tok = SentencePieceBPE.from_file(os.path.join(args.models_path, "vocab.txt"), is_tiny=is_tiny)
+        weights = {}
+        for f in os.listdir(args.models_path):
+            if f.endswith(".bin"):
+                weights[f] = np.fromfile(os.path.join(args.models_path, f), np.float32)
+        pipe = LlamaPipeline(cfg, weights=weights, tokenizer=tok,
+                             compute_dtype=args.compute_dtype, is_tiny_chat=is_tiny)
+    else:
+        print("error: provide --models-path or --synthetic", file=sys.stderr)
+        return 2
+
+    def stream(tok_id: int) -> None:
+        print(pipe.tokenizer.decode_token(tok_id), end="", flush=True)
+
+    # warm-up forward (loads weights + compiles; reference llm.cpp:442-454)
+    print("Loading weights...", end="", flush=True)
+    pipe.forward([1])
+    pipe.reset()
+    print(" done!")
+
+    if args.prompt:
+        t0 = time.time()
+        out = pipe.chat_turn(args.prompt, args.max_new_tokens, stream=None)
+        dt = time.time() - t0
+        n = len(out.split()) + 1
+        print(out)
+        print(f"\n[{dt:.1f}s]", file=sys.stderr)
+        return 0
+
+    while True:
+        try:
+            prompt = input("\n>>> ")
+        except (EOFError, KeyboardInterrupt):
+            return 0
+        t0 = time.time()
+        text = pipe.chat_turn(prompt, args.max_new_tokens, stream=stream)
+        if not sys.stdout.isatty():
+            print(text, end="")
+        ntok = len(pipe.tokenizer.encode(text)) if text else 0
+        print(f"\n[{ntok} tokens, {ntok / max(time.time() - t0, 1e-9):.1f} tok/s]", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -81,6 +81,8 @@ def _align_binary(ctx: Ctx, a, b):
     if db == "bool":
         return a, _astype(xp, b, a.dtype)
     wider = a.dtype if np.dtype(da).itemsize >= np.dtype(db).itemsize else b.dtype
+    if xp is not np and np.dtype(wider) == np.int64:
+        wider = np.dtype(np.int32)  # device integers are 32-bit
     return _astype(xp, a, wider), _astype(xp, b, wider)
 
 

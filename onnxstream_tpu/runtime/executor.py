@@ -267,16 +267,21 @@ class Executor:
         for k, aval in self.plan.input_avals.items():
             if k not in inputs:
                 raise KeyError(f"missing graph input {k!r}")
-            v = np.asarray(inputs[k])
+            v = inputs[k]
+            if isinstance(v, jax.Array):
+                prepared[k] = v.astype(aval.dtype) if v.dtype != aval.dtype else v
+                continue
+            v = np.asarray(v)
             if v.dtype != aval.dtype:
                 v = v.astype(aval.dtype)
             prepared[k] = jax.device_put(v, self._device)
         return prepared
 
-    def run(self, inputs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    def run(self, inputs: Dict[str, np.ndarray], device_outputs: bool = False) -> Dict[str, np.ndarray]:
         """Compiled segmented run. Returns float outputs as float32
         (reference converts outputs to fp32 at end of run,
-        src/onnxstream.cpp:8217-8263)."""
+        src/onnxstream.cpp:8217-8263). With device_outputs=True, results stay
+        as device arrays in their compute dtypes (KV-cache feedback path)."""
         if self._first_run_done:
             self.provider.on_restart()
         acts: Dict[str, Any] = self._prepare_inputs(inputs)
@@ -297,6 +302,13 @@ class Executor:
             results.update(fut)
 
         self._first_run_done = True
+        if device_outputs:
+            out_d: Dict[str, Any] = {}
+            for name in self.plan.fetch_names:
+                out_d[name] = results.get(name, None)
+                if out_d[name] is None:
+                    out_d[name] = self._resolve_static(name)
+            return out_d
         out: Dict[str, np.ndarray] = {}
         for name in self.plan.fetch_names:
             if name in results:

@@ -80,7 +80,15 @@ class Session:
         return self.provider.get(name, dtype, shape)
 
     # --------------------------------------------------------------- tensors
-    def add_tensor(self, name: str, data: np.ndarray) -> None:
+    def add_tensor(self, name: str, data) -> None:
+        try:
+            import jax
+
+            if isinstance(data, jax.Array):
+                self.tensors[name] = data  # device-resident (KV-cache feedback)
+                return
+        except Exception:
+            pass
         self.tensors[name] = np.asarray(data)
 
     def clear_tensors(self) -> None:
@@ -132,13 +140,13 @@ class Session:
             self._executors[key] = ex
         return ex
 
-    def run(self, eager: bool = False) -> Dict[str, np.ndarray]:
+    def run(self, eager: bool = False, device_outputs: bool = False) -> Dict[str, np.ndarray]:
         ex = self._executor()
         inputs = {name: self.tensors[name] for name in self.graph.inputs}
         if eager or self.config.ops_printf or self.config.ops_times_printf or self.config.range_data_calibrate:
             outs = ex.run_eager(inputs)
         else:
-            outs = ex.run(inputs)
+            outs = ex.run(inputs, device_outputs=device_outputs)
         self._last_outputs = outs
         return outs
 

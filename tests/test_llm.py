@@ -1,0 +1,116 @@
+"""LLM family tests: tokenizer, llama graph, bucketed KV-cache pipeline."""
+
+import numpy as np
+import pytest
+
+from onnxstream_tpu.models.llm.llama import LLAMA_TINY, MISTRAL, TINYLLAMA, build_llama, param_count
+from onnxstream_tpu.models.llm.pipeline import LlamaPipeline
+from onnxstream_tpu.models.llm.tokenizer import SentencePieceBPE, chat_template
+
+
+# ---------------------------------------------------------------- tokenizer
+def test_vocab_file_parse(tmp_path):
+    p = tmp_path / "vocab.txt"
+    p.write_text("0,<unk>\n0,<s>\n0,</s>\n-1,a\n-2,b\n-3,ab\n0,<0x41>\n")
+    tok = SentencePieceBPE.from_file(str(p))
+    assert tok.decode_token(6) == "A"  # byte token
+    assert tok.token2idx["ab"] == 5
+
+
+def test_greedy_score_merge():
+    # merge picks the HIGHEST score pair first (reference llm.cpp:316-337)
+    tokens = [(0, "a"), (0, "b"), (0, "c"), (-5, "ab"), (-1, "bc"), (-2, "abc")]
+    tok = SentencePieceBPE(tokens)
+    ids = tok.encode("abc")
+    # first merge: bc (score -1) beats ab (-5); then a+bc="abc" exists -> abc
+    assert [tok.decode_token(i) for i in ids] == ["abc"]
+
+
+def test_special_token_matching():
+    tokens = [(0, c) for c in "abcdefghijklmnopqrstuvwxyz <>|/_sim"]
+    tok = SentencePieceBPE(tokens, special=["<s>", "</s>", "<|im_start|>", "<|im_end|>"])
+    ids = tok.encode("<s>hi")
+    assert tok.decode_token(ids[0]) == "<s>"
+
+
+def test_chat_templates():
+    assert chat_template("hi", True, False).startswith("<|im_start|>user\nhi")
+    assert chat_template("hi", False, False) == "<s>[INST] hi [/INST]"
+    assert chat_template("hi", False, True).startswith("</s>")
+
+
+# ------------------------------------------------------------------- graphs
+def test_config_param_counts():
+    assert abs(param_count(TINYLLAMA) / 1e9 - 1.1) < 0.15  # TinyLlama 1.1B
+    assert abs(param_count(MISTRAL) / 1e9 - 7.2) < 0.3  # Mistral 7B
+
+
+def test_build_llama_shapes():
+    g = build_llama(LLAMA_TINY, new_len=4, past=0)
+    outs = g.graph().output_names()
+    assert "logits" in outs
+    assert f"opkv{2 * LLAMA_TINY.layers - 1}" in outs
+    g2 = build_llama(LLAMA_TINY, new_len=1, past=16)
+    assert "pkv0" in g2.graph().inputs
+    assert "cache_5F_len" in g2.graph().inputs
+
+
+# ------------------------------------------------------------------ pipeline
+@pytest.fixture(scope="module")
+def tiny_pipe():
+    return LlamaPipeline(LLAMA_TINY, buckets=[16, 32, 64])
+
+
+def test_incremental_matches_full(tiny_pipe):
+    seq = [1, 5, 7, 9, 2, 3]
+    full = LlamaPipeline(LLAMA_TINY, buckets=[16, 32, 64]).forward(seq)
+    tiny_pipe.reset()
+    tiny_pipe.forward(seq[:3])
+    inc = None
+    for t in seq[3:]:
+        inc = tiny_pipe.forward([t])
+    np.testing.assert_allclose(full, inc, rtol=1e-4, atol=1e-4)
+
+
+def test_bucket_crossing(tiny_pipe):
+    # push past length across the 16-bucket boundary; logits stay consistent
+    tiny_pipe.reset()
+    seq = list(range(1, 21))  # 20 tokens -> crosses past bucket 16
+    tiny_pipe.forward(seq[:15])
+    out = None
+    for t in seq[15:]:
+        out = tiny_pipe.forward([t])
+    full = LlamaPipeline(LLAMA_TINY, buckets=[32, 64]).forward(seq)
+    np.testing.assert_allclose(full, out, rtol=1e-4, atol=1e-4)
+
+
+def test_generate_deterministic(tiny_pipe):
+    tiny_pipe.reset()
+    a = tiny_pipe.generate([1, 2, 3], max_new_tokens=5)
+    tiny_pipe.reset()
+    b = tiny_pipe.generate([1, 2, 3], max_new_tokens=5)
+    assert a == b and len(a) == 5
+
+
+def test_gqa_shapes():
+    # LLAMA_TINY has 4 q heads / 2 kv heads: kv cache stores kv_heads only
+    p = LlamaPipeline(LLAMA_TINY, buckets=[16, 32])
+    p.forward([1, 2, 3])
+    assert p.kv[0].shape == (1, LLAMA_TINY.kv_heads, 3, LLAMA_TINY.head_dim)
+
+
+def test_chat_turn_synthetic():
+    tokens = [(0, chr(i)) for i in range(128)]
+    tok = SentencePieceBPE(tokens, special=["<s>", "</s>", "[PAD]", "<|im_start|>", "<|im_end|>"])
+    pipe = LlamaPipeline(LLAMA_TINY, tokenizer=tok, buckets=[64, 128])
+    out = pipe.chat_turn("hi", max_new_tokens=4)
+    assert isinstance(out, str)
+
+
+def test_llm_cli_single_shot(capsys):
+    from onnxstream_tpu.cli.llm_main import main
+
+    rc = main(["--synthetic", "tiny", "--device", "cpu", "--prompt", "hello", "--max-new-tokens", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "done!" in out
