@@ -61,17 +61,23 @@ def _rope_tables(cfg: LlamaConfig) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def build_llama(cfg: LlamaConfig, new_len: int = 1, past: int = 0, seed: int = 0) -> GraphBuilder:
-    """One (L=new_len, P=past) bucket graph.
+    """One (L=new_len, P=past_bucket) graph.
 
     Inputs: input_ids (1,L) int64, position_ids (1,L) int64,
             cache_len (1,) int64 [only when past>0],
-            pkv{2i}/pkv{2i+1} (1, kv_heads, P, head_dim) [only when past>0].
-    Outputs: logits (1, L, vocab), opkv{j} (1, kv_heads, P+L, head_dim).
+            pkv{2i}/pkv{2i+1} (1, kv_heads, P, head_dim) [only when past>0] —
+            a fixed bucket-sized buffer; rows >= cache_len are free space.
+    Outputs: logits (1, L, vocab), next_token (1,) [greedy argmax of the last
+            valid position], opkv{j}:
+              past>0: the SAME bucket-sized buffer with the L new rows written
+                      at position cache_len in-graph (ScatterND) — feeds back
+                      as pkv with zero host work;
+              past=0: the fresh (1, kv_heads, L, head_dim) cache.
     """
     g = GraphBuilder(seed=seed)
     L, P = new_len, past
     d, H, KV, hd = cfg.dim, cfg.heads, cfg.kv_heads, cfg.head_dim
-    Ttot = P + L
+    Ttot = P if P else L  # attention span: the KV bucket, or the prefill len
 
     input_ids = g.input("input_5F_ids", (1, L))
     position_ids = g.input("position_5F_ids", (1, L))
@@ -88,24 +94,34 @@ def build_llama(cfg: LlamaConfig, new_len: int = 1, past: int = 0, seed: int = 0
     cos = g.emit("Unsqueeze", [cos, g.weight("rope.unsq", np.array([1], np.int64))], [(1, 1, L, hd)], name="rope/cos4")
     sin = g.emit("Unsqueeze", [sin, g.weight("rope.unsq", np.array([1], np.int64))], [(1, 1, L, hd)], name="rope/sin4")
 
-    # additive attention mask (1,1,L,Ttot): static causal part for the new
-    # tokens OR the dynamic `col < cache_len` part for the padded past
-    causal_new = np.zeros((1, 1, L, Ttot), bool)
-    for l in range(L):
-        causal_new[0, 0, l, P : P + l + 1] = True
+    # additive attention mask.
+    #   past=0 (prefill): static causal (1,1,L,L).
+    #   past>0 (bucketed): the KV buffer has P rows; row l of the query may
+    #   see col <= cache_len + l (valid past plus the new rows written below).
     if P:
-        col = g.weight("mask.col", np.arange(Ttot, dtype=np.int64).reshape(1, 1, 1, Ttot))
+        Tmask = P
+        col = g.weight(f"mask.col{P}", np.arange(P, dtype=np.int64).reshape(1, 1, 1, P))
+        row1 = g.weight(f"mask.row{L}", (np.arange(L, dtype=np.int64) + 1).reshape(1, 1, L, 1))
         cl = g.emit("Unsqueeze", [cache_len, g.weight("mask.unsq", np.array([0, 1, 2], np.int64))],
                     [(1, 1, 1, 1)], name="mask/len4")
-        past_valid = g.emit("Less", [col, cl], [(1, 1, 1, Ttot)], name="mask/past")
-        valid = g.emit("Or", [g.weight("mask.causal", causal_new.astype(np.int64)), past_valid],
-                       [(1, 1, L, Ttot)], name="mask/valid")
+        thresh = g.emit("Add", [row1, cl], [(1, 1, L, 1)], name="mask/thresh")
+        valid = g.emit("Less", [col, thresh], [(1, 1, L, P)], name="mask/valid")
         mask = g.emit("Where", [valid, g.weight("mask.zero", np.zeros(1, np.float32)),
                                 g.weight("mask.neg", np.full(1, -1e9, np.float32))],
-                      [(1, 1, L, Ttot)], name="mask/additive")
+                      [(1, 1, L, P)], name="mask/additive")
     else:
-        add_mask = np.where(causal_new, 0.0, -1e9).astype(np.float32)
-        mask = g.weight("mask.static", add_mask)
+        causal = np.tril(np.ones((L, L), bool)).reshape(1, 1, L, L)
+        mask = g.weight("mask.static", np.where(causal, 0.0, -1e9).astype(np.float32))
+
+    # ScatterND indices for writing L new KV rows at cache_len (past>0)
+    if P:
+        n_upd = KV * L
+        head_col = g.weight(f"kvw.head{n_upd}", np.repeat(np.arange(KV, dtype=np.int64), L).reshape(n_upd, 1))
+        l_col = g.weight(f"kvw.l{n_upd}", np.tile(np.arange(L, dtype=np.int64), KV).reshape(n_upd, 1))
+        cl1 = g.emit("Unsqueeze", [cache_len, g.weight("kvw.unsq", np.array([0], np.int64))],
+                     [(1, 1)], name="kvw/len2")
+        pos_col = g.emit("Add", [l_col, cl1], [(n_upd, 1)], name="kvw/pos")
+        kv_indices2 = g.concat([head_col, pos_col], axis=1, name="kvw/indices")
 
     def rmsnorm(t: T, name: str) -> T:
         sq = g.binary("Pow", t, g.scalar(2.0, name=f"{name}.two"), out_shape=t.shape, name=f"{name}/pow")
@@ -141,8 +157,16 @@ def build_llama(cfg: LlamaConfig, new_len: int = 1, past: int = 0, seed: int = 0
         if P:
             pk = g.input(f"pkv{2 * layer}", (1, KV, P, hd))
             pv = g.input(f"pkv{2 * layer + 1}", (1, KV, P, hd))
-            k_full = g.concat([pk, k], axis=2, name=f"{nm}/catk")
-            v_full = g.concat([pv, v], axis=2, name=f"{nm}/catv")
+            k_upd = g.reshape(k, (KV * L, hd), name=f"{nm}/k_upd")
+            v_upd = g.reshape(v, (KV * L, hd), name=f"{nm}/v_upd")
+            pk3 = g.reshape(pk, (1 * KV, P, hd), name=f"{nm}/pk3")
+            pv3 = g.reshape(pv, (1 * KV, P, hd), name=f"{nm}/pv3")
+            # indices are (N,3) over (b*kv collapsed? no: (kv, pos)) — use
+            # depth-2 indices over the collapsed (kv, P, hd) layout
+            k3 = g.emit("ScatterND", [pk3, kv_indices2, k_upd], [(KV, P, hd)], name=f"{nm}/scatk")
+            v3 = g.emit("ScatterND", [pv3, kv_indices2, v_upd], [(KV, P, hd)], name=f"{nm}/scatv")
+            k_full = g.reshape(k3, (1, KV, P, hd), name=f"{nm}/k_full")
+            v_full = g.reshape(v3, (1, KV, P, hd), name=f"{nm}/v_full")
         else:
             k_full, v_full = k, v
 
@@ -186,7 +210,13 @@ def build_llama(cfg: LlamaConfig, new_len: int = 1, past: int = 0, seed: int = 0
 
     x = rmsnorm(x, "model.norm")
     head = g.weight("lm_head.weight", g.randn(d, cfg.vocab_size, scale=0.02))
-    g.emit("MatMul", [x, head], [(1, L, cfg.vocab_size)], name="lm_head", out_names=["logits"])
+    logits_t = g.emit("MatMul", [x, head], [(1, L, cfg.vocab_size)], name="lm_head", out_names=["logits_all"])
+    g.emit("Identity", [logits_t], [(1, L, cfg.vocab_size)], name="logits_out", out_names=["logits"])
+    # greedy next token computed in-graph: only 8 bytes leave the device per
+    # decode step (last_5F_pos selects the final *valid* row under padding)
+    last_pos = g.input("last_5F_pos", (1,))
+    last = g.emit("Gather", [logits_t, last_pos], [(1, 1, cfg.vocab_size)], {"axis": 1}, name="last/gather")
+    g.emit("ArgMax", [last], [(1, 1)], {"axis": -1, "keepdims": 0}, name="next", out_names=["next_token"])
     return g
 
 

@@ -63,12 +63,12 @@ def tiny_pipe():
 
 def test_incremental_matches_full(tiny_pipe):
     seq = [1, 5, 7, 9, 2, 3]
-    full = LlamaPipeline(LLAMA_TINY, buckets=[16, 32, 64]).forward(seq)
+    _, full = LlamaPipeline(LLAMA_TINY, buckets=[16, 32, 64]).forward(seq)
     tiny_pipe.reset()
     tiny_pipe.forward(seq[:3])
     inc = None
     for t in seq[3:]:
-        inc = tiny_pipe.forward([t])
+        _, inc = tiny_pipe.forward([t])
     np.testing.assert_allclose(full, inc, rtol=1e-4, atol=1e-4)
 
 
@@ -79,8 +79,8 @@ def test_bucket_crossing(tiny_pipe):
     tiny_pipe.forward(seq[:15])
     out = None
     for t in seq[15:]:
-        out = tiny_pipe.forward([t])
-    full = LlamaPipeline(LLAMA_TINY, buckets=[32, 64]).forward(seq)
+        _, out = tiny_pipe.forward([t])
+    _, full = LlamaPipeline(LLAMA_TINY, buckets=[32, 64]).forward(seq)
     np.testing.assert_allclose(full, out, rtol=1e-4, atol=1e-4)
 
 
@@ -93,10 +93,17 @@ def test_generate_deterministic(tiny_pipe):
 
 
 def test_gqa_shapes():
-    # LLAMA_TINY has 4 q heads / 2 kv heads: kv cache stores kv_heads only
+    # LLAMA_TINY has 4 q heads / 2 kv heads: kv cache stores kv_heads only,
+    # padded to the prefill bucket (16)
     p = LlamaPipeline(LLAMA_TINY, buckets=[16, 32])
     p.forward([1, 2, 3])
-    assert p.kv[0].shape == (1, LLAMA_TINY.kv_heads, 3, LLAMA_TINY.head_dim)
+    assert p.kv[0].shape == (1, LLAMA_TINY.kv_heads, 16, LLAMA_TINY.head_dim)
+    assert p.cache_len == 3
+
+def test_argmax_in_graph_matches_logits():
+    p = LlamaPipeline(LLAMA_TINY, buckets=[16, 32])
+    nxt, logits = p.forward([1, 2, 3])
+    assert nxt == int(np.argmax(logits))
 
 
 def test_chat_turn_synthetic():
