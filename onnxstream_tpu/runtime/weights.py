@@ -187,6 +187,81 @@ class DiskPrefetchWeightsProvider(WeightsProvider):
             self._thread = None
 
 
+class NativeDiskPrefetchWeightsProvider(WeightsProvider):
+    """DiskPrefetch via the C++ worker (csrc/prefetch.cpp -> libostpu_native.so):
+    no GIL involvement on the read path, same contract as the Python version."""
+
+    _lib = None
+
+    @classmethod
+    def available(cls) -> bool:
+        return cls._load() is not None
+
+    @classmethod
+    def _load(cls):
+        if cls._lib is None:
+            import ctypes
+
+            here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+            for cand in (os.path.join(here, "csrc", "libostpu_native.so"), "libostpu_native.so"):
+                try:
+                    lib = ctypes.CDLL(cand)
+                    lib.ostpu_prefetch_new.restype = ctypes.c_void_p
+                    lib.ostpu_prefetch_new.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
+                    lib.ostpu_prefetch_init.argtypes = [
+                        ctypes.c_void_p,
+                        ctypes.POINTER(ctypes.c_char_p),
+                        ctypes.POINTER(ctypes.c_uint64),
+                        ctypes.c_int,
+                    ]
+                    lib.ostpu_prefetch_get.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_uint64]
+                    lib.ostpu_prefetch_get.restype = ctypes.c_int
+                    lib.ostpu_prefetch_restart.argtypes = [ctypes.c_void_p]
+                    lib.ostpu_prefetch_delete.argtypes = [ctypes.c_void_p]
+                    cls._lib = lib
+                    break
+                except OSError:
+                    continue
+        return cls._lib
+
+    def __init__(self, path_prefix: str, max_bytes: int = 1 << 28) -> None:
+        import ctypes
+
+        lib = self._load()
+        if lib is None:
+            raise OSError("libostpu_native.so not built (run `make -C csrc`)")
+        self.prefix = path_prefix
+        self._h = lib.ostpu_prefetch_new(path_prefix.encode(), max_bytes)
+        self._entries = []
+
+    def on_init(self, entries) -> None:
+        import ctypes
+
+        self._entries = list(entries)
+        names = (ctypes.c_char_p * len(entries))(*[e[0].encode() for e in entries])
+        sizes = (ctypes.c_uint64 * len(entries))(
+            *[int(np.prod(e[2])) * e[1].itemsize for e in entries]
+        )
+        self._load().ostpu_prefetch_init(self._h, names, sizes, len(entries))
+
+    def on_restart(self) -> None:
+        self._load().ostpu_prefetch_restart(self._h)
+
+    def get(self, name, dtype, shape):
+        arr = np.empty(shape, dtype=dtype.np)
+        rc = self._load().ostpu_prefetch_get(
+            self._h, name.encode(), arr.ctypes.data, arr.nbytes
+        )
+        if rc != 0:
+            raise IOError(f"native prefetch failed for {name} (rc={rc})")
+        return arr
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._load().ostpu_prefetch_delete(self._h)
+            self._h = None
+
+
 class RamWeightsProvider(WeightsProvider):
     """Decorator: first run pulls from the inner provider and caches; later
     runs serve from RAM (reference src/onnxstream.h:666-900). ``update``
@@ -265,9 +340,11 @@ def make_provider(name: str, path_prefix: str, **kw) -> WeightsProvider:
     if name == "nocache":
         return DiskNoCacheWeightsProvider(path_prefix)
     if name == "prefetch":
+        if NativeDiskPrefetchWeightsProvider.available():
+            return NativeDiskPrefetchWeightsProvider(path_prefix, **kw)
         return DiskPrefetchWeightsProvider(path_prefix, **kw)
     if name == "ram":
         return RamWeightsProvider(DiskNoCacheWeightsProvider(path_prefix))
     if name == "ram+prefetch":
-        return RamWeightsProvider(DiskPrefetchWeightsProvider(path_prefix, **kw))
+        return RamWeightsProvider(make_provider("prefetch", path_prefix, **kw))
     raise ValueError(f"unknown weights provider {name!r}")
