@@ -60,7 +60,8 @@ def main(argv=None) -> int:
 
     if args.synthetic:
         pipe = StableDiffusionPipeline.from_synthetic(tiny=args.synthetic == "tiny",
-                                                      compute_dtype=args.compute_dtype)
+                                                      compute_dtype=args.compute_dtype,
+                                                      xl=args.xl, turbo=args.turbo)
     elif args.models_path:
         pipe = StableDiffusionPipeline.from_dir(
             args.models_path, xl=args.xl, turbo=args.turbo,

@@ -28,6 +28,9 @@ class ClipConfig:
 CLIP_L = ClipConfig()
 CLIP_BIGG = ClipConfig(width=1280, layers=32, heads=20, activation="gelu", pooled=True)
 CLIP_TINY = ClipConfig(vocab_size=1000, width=32, layers=2, heads=2, seq=7)
+CLIP_TINY_G = ClipConfig(
+    vocab_size=1000, width=48, layers=2, heads=2, seq=7, activation="gelu", pooled=True
+)
 
 
 def build_text_encoder(cfg: ClipConfig = CLIP_L, seed: int = 0) -> GraphBuilder:

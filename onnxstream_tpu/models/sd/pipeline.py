@@ -49,8 +49,20 @@ SD_LATENT_RGB_PROJ = np.array(
     np.float32,
 )
 
+# reference sdxl_preview (src/sd.cpp:975-979, from ComfyUI latent_formats)
+SDXL_LATENT_RGB_PROJ = np.array(
+    [
+        [0.3651, 0.4232, 0.4341],
+        [-0.2533, -0.0042, 0.1068],
+        [0.1076, 0.1111, -0.0362],
+        [-0.3165, -0.2492, -0.2188],
+    ],
+    np.float32,
+)
+
 SDXL_TIME_IDS = np.array([[1024, 1024, 0, 0, 1024, 1024]], np.float32)
-VAE_SCALE = 0.18215
+VAE_SCALE = 0.18215  # 1/5.48998 (reference src/sd.cpp:2359)
+VAE_SCALE_XL = 0.13025  # 1/7.67754 (reference src/sd.cpp:2360)
 
 
 @dataclasses.dataclass
@@ -83,8 +95,11 @@ class StableDiffusionPipeline:
         context_dim: int = 768,
         turbo: bool = False,
         vae_tile_session: Optional[Session] = None,
+        text_encoder_2: Optional[Session] = None,
+        xl: bool = False,
     ):
         self.text_encoder = text_encoder
+        self.text_encoder_2 = text_encoder_2
         self.unet = unet
         self.vae_decoder = vae_decoder
         self.vae_tile_session = vae_tile_session
@@ -92,17 +107,32 @@ class StableDiffusionPipeline:
         self.lath, self.latw = latent_hw
         self.context_dim = context_dim
         self.turbo = turbo
+        self.xl = xl
+        self.vae_scale = VAE_SCALE_XL if xl else VAE_SCALE
 
     # ----------------------------------------------------------- constructors
     @classmethod
-    def from_synthetic(cls, tiny: bool = True, seed: int = 0, compute_dtype: str = "float32"):
+    def from_synthetic(cls, tiny: bool = True, seed: int = 0, compute_dtype: str = "float32",
+                       xl: bool = False, turbo: bool = False):
         """Architecture-faithful graphs with random weights (tests/bench)."""
-        from onnxstream_tpu.models.sd.clip import CLIP_TINY, CLIP_L, build_text_encoder
-        from onnxstream_tpu.models.sd.unet import SD15, TINY, build_unet
+        from onnxstream_tpu.models.sd.clip import (
+            CLIP_BIGG,
+            CLIP_L,
+            CLIP_TINY,
+            CLIP_TINY_G,
+            build_text_encoder,
+        )
+        from onnxstream_tpu.models.sd.unet import SD15, SDXL, TINY, TINY_XL, build_unet
         from onnxstream_tpu.models.sd.vae import VAE_SD, VAE_TINY, build_vae_decoder
 
-        ccfg = CLIP_TINY if tiny else CLIP_L
-        ucfg = TINY if tiny else SD15
+        if xl:
+            ccfg = CLIP_TINY if tiny else CLIP_L
+            ccfg2 = CLIP_TINY_G if tiny else CLIP_BIGG
+            ucfg = TINY_XL if tiny else SDXL
+        else:
+            ccfg = CLIP_TINY if tiny else CLIP_L
+            ccfg2 = None
+            ucfg = TINY if tiny else SD15
         vcfg = VAE_TINY if tiny else VAE_SD
 
         def mk(builder):
@@ -114,6 +144,7 @@ class StableDiffusionPipeline:
             return s
 
         te = mk(build_text_encoder(ccfg, seed=seed))
+        te2 = mk(build_text_encoder(ccfg2, seed=seed + 7)) if ccfg2 else None
         un = mk(build_unet(ucfg, seed=seed + 1))
         lat = ucfg.sample_size
         vd = mk(build_vae_decoder(dataclasses.replace(vcfg, sample=lat), seed=seed + 2))
@@ -128,7 +159,7 @@ class StableDiffusionPipeline:
         vocab[",</w>"] = 267
         tok = ClipTokenizer(vocab, merges=None)
         pipe = cls(te, un, vd, tok, latent_hw=(lat, lat), context_dim=ucfg.cross_attention_dim,
-                   vae_tile_session=vt)
+                   vae_tile_session=vt, text_encoder_2=te2, xl=xl, turbo=turbo)
         pipe._tile_size = tile_sz
         pipe._clip_seq = ccfg.seq
         return pipe
@@ -163,16 +194,30 @@ class StableDiffusionPipeline:
             s.read_file(p)
             return s
 
-        te = mk("text_encoder_fp32")
-        un = mk("unet_fp16") or mk("unet_fp32")
-        vd = mk("vae_decoder_fp16") or mk("vae_decoder_qu8") or mk("vae_decoder_fp32")
-        tile = mk("vae_decoder_fp16_l32")
-        tok = ClipTokenizer.from_dir(os.path.join(path, "tokenizer")) if os.path.exists(
-            os.path.join(path, "tokenizer")
-        ) else ClipTokenizer.from_dir(path)
+        if xl:
+            # reference SDXL folder names (src/sd.cpp:2586-2587, 1676-1680,
+            # 2379-2434, 3040-3046)
+            te = mk("sdxl_text_encoder_1_fp32")
+            te2 = mk("sdxl_text_encoder_2_fp32")
+            un = mk("sdxl_unet_fp16") or mk("sdxl_unet_anyshape_fp16", dynamic=True)
+            vd = mk("sdxl_vae_decoder_fp16") or mk("sdxl_vae_decoder_anyshape_fp16", dynamic=True)
+            tile = mk("sdxl_vae_decoder_32x32_fp16")
+            # penultimate hidden states come via extra outputs (sd.cpp:2597-2601)
+            if te is not None:
+                te.add_extra_output("out_5F_13")
+            if te2 is not None:
+                te2.add_extra_output("out_5F_33")
+            tok_dir = os.path.join(path, "sdxl_tokenizer")
+        else:
+            te, te2 = mk("text_encoder_fp32"), None
+            un = mk("unet_fp16") or mk("unet_fp32")
+            vd = mk("vae_decoder_fp16") or mk("vae_decoder_qu8") or mk("vae_decoder_fp32")
+            tile = mk("vae_decoder_fp16_l32")
+            tok_dir = os.path.join(path, "tokenizer")
+        tok = ClipTokenizer.from_dir(tok_dir) if os.path.exists(tok_dir) else ClipTokenizer.from_dir(path)
         lat = (res[1] // 8, res[0] // 8)
         return cls(te, un, vd, tok, latent_hw=lat, context_dim=2048 if xl else 768,
-                   turbo=turbo, vae_tile_session=tile)
+                   turbo=turbo, vae_tile_session=tile, text_encoder_2=te2, xl=xl)
 
     # -------------------------------------------------------------- prompts
     _clip_seq = 77
@@ -202,6 +247,43 @@ class StableDiffusionPipeline:
             cond = apply_multipliers(hidden, np.asarray(mults, np.float32))
         return cond
 
+    def encode_prompt_xl(self, prompt: str) -> Dict[str, np.ndarray]:
+        """SDXL dual-encoder conditioning (reference src/sd.cpp:2543-2663):
+        raw tokens (no weighting) through both encoders; context is the
+        per-token concat of the penultimate hidden states (768+1280 -> 2048);
+        pooled comes from encoder 2."""
+        toks, _ = self.tokenizer.encode_with_weights(prompt)[-1]
+        L = self._clip_seq
+        if L != 77:
+            toks = np.remainder(toks[:L], 999)
+        toks = toks.reshape(1, L).astype(np.int64)
+
+        def run(sess):
+            sess.clear_tensors()
+            name = next(iter(sess.graph.inputs))
+            sess.add_tensor(name, toks)
+            return sess.run()
+
+        o1 = run(self.text_encoder)
+        o2 = run(self.text_encoder_2)
+
+        def pick(out, names, ndim):
+            # converted graphs use out_5F_13/out_5F_33 (penultimate, pulled via
+            # extra_outputs) and out_5F_0 (pooled); synthetic graphs use the
+            # builder's named outputs
+            for n in names:
+                if n in out:
+                    return out[n]
+            return next(v for v in out.values() if np.asarray(v).ndim == ndim)
+
+        h1 = pick(o1, ("penultimate_hidden_state", "out_5F_13"), 3)
+        h2 = pick(o2, ("penultimate_hidden_state", "out_5F_33"), 3)
+        pooled = pick(o2, ("pooled_output", "out_5F_0"), 2)
+        context = np.concatenate(
+            [np.asarray(h1, np.float32)[0], np.asarray(h2, np.float32)[0]], axis=-1
+        )
+        return {"context": context, "pooled": np.asarray(pooled, np.float32).reshape(1, -1)}
+
     # -------------------------------------------------------------- denoiser
     def _unet_input_names(self) -> Dict[str, str]:
         names = {}
@@ -223,25 +305,27 @@ class StableDiffusionPipeline:
         self,
         x: np.ndarray,
         sigma: float,
-        cond: np.ndarray,
-        uncond: Optional[np.ndarray],
+        cond,
+        uncond,
         cfg_scale: float = 7.0,
-        sdxl_embeds: Optional[Dict[str, np.ndarray]] = None,
     ) -> np.ndarray:
-        """CompVis CFG denoiser (reference src/sd.cpp:1397-1558)."""
+        """CompVis CFG denoiser (reference src/sd.cpp:1397-1558). cond/uncond
+        are (77,d) arrays (SD1.5) or {'context','pooled'} dicts (SDXL, each
+        branch carrying its own pooled embeds, sd.cpp:1500-1516)."""
         c_in, c_out = sched.get_scalings(sigma)
         t = sched.sigma_to_t(sigma)
         names = self._unet_input_names()
 
-        def run(cc: np.ndarray) -> np.ndarray:
+        def run(branch) -> np.ndarray:
+            cc = branch["context"] if isinstance(branch, dict) else branch
             self.unet.clear_tensors()
             self.unet.add_tensor(names["sample"], (x * np.float32(c_in))[None])
             self.unet.add_tensor(names["timestep"], np.array([t], np.float32))
             self.unet.add_tensor(names["context"], cc[None].astype(np.float32))
             if "time_ids" in names:
                 self.unet.add_tensor(names["time_ids"], SDXL_TIME_IDS)
-            if "text_embeds" in names and sdxl_embeds is not None:
-                self.unet.add_tensor(names["text_embeds"], sdxl_embeds["pooled"])
+            if "text_embeds" in names and isinstance(branch, dict):
+                self.unet.add_tensor(names["text_embeds"], branch["pooled"])
             out = self.unet.run()
             eps = next(v for v in out.values() if v.ndim == 4)[0]
             return eps * np.float32(c_out) + x
@@ -266,8 +350,12 @@ class StableDiffusionPipeline:
         preview_steps: bool = False,
         init_latents: Optional[np.ndarray] = None,
     ) -> GenerationResult:
-        cond = self.encode_prompt(prompt)
-        uncond = None if self.turbo else self.encode_prompt(neg_prompt)
+        if self.xl:
+            cond = self.encode_prompt_xl(prompt)
+            uncond = None if self.turbo else self.encode_prompt_xl(neg_prompt)
+        else:
+            cond = self.encode_prompt(prompt)
+            uncond = None if self.turbo else self.encode_prompt(neg_prompt)
 
         sigma = sched.sigma_schedule(steps)
         x = init_latents if init_latents is not None else randn_4_w_h(seed % 1000, self.latw, self.lath) * sigma[0]
@@ -283,7 +371,7 @@ class StableDiffusionPipeline:
             den = denoise_fn(x, float(sigma[i]))
             x = S.sampler_step(state, x, den, sigma, i, denoise_fn)
             if preview_steps:
-                previews.append(latent_to_rgb(x))
+                previews.append(latent_to_rgb(x, SDXL_LATENT_RGB_PROJ if self.xl else SD_LATENT_RGB_PROJ))
 
         image = self.decode(x, tiled=tiled_decode) if decode and self.vae_decoder is not None else None
         return GenerationResult(image=image, latents=x, previews=previews)
@@ -293,7 +381,7 @@ class StableDiffusionPipeline:
         """(4,h,w) latents -> (8h,8w,3) uint8 image."""
         if tiled:
             return self._decode_tiled(latents)
-        z = (latents / np.float32(VAE_SCALE))[None]
+        z = (latents / np.float32(self.vae_scale))[None]
         self.vae_decoder.clear_tensors()
         name = next(iter(self.vae_decoder.graph.inputs))
         self.vae_decoder.add_tensor(name, z.astype(np.float32))
@@ -315,7 +403,7 @@ class StableDiffusionPipeline:
         scale = out_spec.shape[-1] // in_spec.shape[-1] if out_spec.shape and in_spec.shape[-1] else 8
         stride = stride if stride is not None else max(tile * 3 // 4, 1)  # 25% overlap (sd.cpp:1330)
         ramp = ramp if ramp is not None else (tile - stride) * scale  # blend over the overlap
-        z = latents / np.float32(VAE_SCALE)
+        z = latents / np.float32(self.vae_scale)
         lh, lw = z.shape[1], z.shape[2]
         out_h, out_w = lh * scale, lw * scale
         res = np.zeros((3, out_h, out_w), np.float32)

@@ -34,8 +34,16 @@ class UNetConfig:
     transformer_layers: Tuple[int, ...] = (1, 1, 1, 0)
     norm_groups: int = 32
     context_len: int = 77
-    addition_embed_dim: int = 0  # SDXL: 2816 (text_embeds 1280 + time_ids 6*256)
+    # SDXL additional conditioning: pooled text embeds (text_5F_embeds input,
+    # width pooled_dim) + in-graph fourier embedding of the 6 time_ids at
+    # time_fourier_dim each (diffusers add_time_proj; 1280 + 6*256 = 2816)
+    pooled_dim: int = 0
+    time_fourier_dim: int = 256
     head_dim_is_count: bool = True  # attention_head_dim holds the head COUNT (SD1.5)
+
+    @property
+    def addition_embed_dim(self) -> int:
+        return self.pooled_dim + 6 * self.time_fourier_dim if self.pooled_dim else 0
 
 
 SD15 = UNetConfig()
@@ -49,7 +57,7 @@ SDXL = UNetConfig(
     attn_levels=(False, True, True),
     transformer_layers=(0, 2, 10),
     context_len=77,
-    addition_embed_dim=2816,
+    pooled_dim=1280,
 )
 
 TINY = UNetConfig(
@@ -62,6 +70,20 @@ TINY = UNetConfig(
     transformer_layers=(1, 1),
     norm_groups=8,
     context_len=7,
+)
+
+TINY_XL = UNetConfig(
+    sample_size=16,
+    block_out_channels=(32, 64),
+    layers_per_block=1,
+    cross_attention_dim=80,  # tiny te1 (32) + tiny te2 (48) concat
+    attention_head_dim=(2, 2),
+    attn_levels=(True, True),
+    transformer_layers=(1, 1),
+    norm_groups=8,
+    context_len=7,
+    pooled_dim=48,
+    time_fourier_dim=8,
 )
 
 
@@ -86,8 +108,22 @@ def build_unet(cfg: UNetConfig = SD15, batch: int = 1, seed: int = 0) -> GraphBu
     temb = g.matmul_w(temb, temb_dim, name="temb/lin2")  # (1, temb_dim)
 
     if cfg.addition_embed_dim:
-        # SDXL conditioning: pooled text embeds + fourier(time_ids) -> add to temb
-        add_cond = g.input("add_embeds", (batch, cfg.addition_embed_dim))
+        # SDXL conditioning (inputs named as the converted graph pushes them,
+        # reference src/sd.cpp:1488-1516): pooled text embeds (1, pooled_dim)
+        # and time_ids (1, 6); the fourier projection of each time_id
+        # (diffusers add_time_proj, flip_sin_to_cos) runs in-graph, then
+        # concat(text_embeds, time_embeds) -> 2-layer MLP -> add to temb.
+        pooled = g.input("text_5F_embeds", (batch, cfg.pooled_dim))
+        time_ids = g.input("time_5F_ids", (batch, 6))
+        td = cfg.time_fourier_dim
+        tfreqs = np.exp(-math.log(10000.0) * np.arange(td // 2, dtype=np.float32) / (td // 2))
+        tid_col = g.reshape(time_ids, (batch * 6, 1), name="add_emb/tid_col")
+        tang = g.mul(tid_col, g.weight("add_emb.freqs", tfreqs.reshape(1, td // 2)), name="add_emb/ang")
+        tsin = g.emit("Sin", [tang], [tang.shape])
+        tcos = g.emit("Cos", [tang], [tang.shape])
+        time_emb = g.concat([tcos, tsin], axis=-1, name="add_emb/fourier")  # (b*6, td)
+        time_emb = g.reshape(time_emb, (batch, 6 * td), name="add_emb/time_flat")
+        add_cond = g.concat([pooled, time_emb], axis=-1, name="add_emb/cat")
         a = g.matmul_w(add_cond, temb_dim, name="add_emb/lin1")
         a = g.silu(a)
         a = g.matmul_w(a, temb_dim, name="add_emb/lin2")

@@ -194,3 +194,60 @@ def test_sd_cli_latents_roundtrip(tmp_path):
     import os
 
     assert os.path.exists(out)
+
+
+# ------------------------------------------------------------------- SDXL
+@pytest.fixture(scope="module")
+def tiny_xl_pipe():
+    from onnxstream_tpu.models.sd.pipeline import StableDiffusionPipeline
+
+    return StableDiffusionPipeline.from_synthetic(tiny=True, xl=True)
+
+
+def test_sdxl_encode_prompt(tiny_xl_pipe):
+    emb = tiny_xl_pipe.encode_prompt_xl("a photo of a cat")
+    # context = concat of te1 (32) and te2 (48) penultimate states
+    assert emb["context"].shape == (7, 80)
+    assert emb["pooled"].shape == (1, 48)
+
+
+def test_sdxl_generate_e2e(tiny_xl_pipe):
+    r = tiny_xl_pipe.generate("a photo of a cat", steps=2, seed=11, preview_steps=True)
+    assert r.latents.shape == (4, 16, 16)
+    assert r.image is not None and r.image.dtype == np.uint8
+    assert len(r.previews) == 2
+
+
+def test_sdxl_cfg_uses_per_branch_pooled(tiny_xl_pipe):
+    # cond and uncond carry different pooled embeds -> CFG must differ from
+    # the cond-only result (reference sd.cpp:1500-1516)
+    a = tiny_xl_pipe.generate("a photo of a cat", steps=2, seed=11).latents
+    b = tiny_xl_pipe.generate("a photo of a cat", neg_prompt="a dog", steps=2, seed=11).latents
+    assert np.abs(a - b).max() > 1e-6
+
+
+def test_sdxl_turbo_skips_uncond():
+    from onnxstream_tpu.models.sd.pipeline import StableDiffusionPipeline
+
+    p = StableDiffusionPipeline.from_synthetic(tiny=True, xl=True, turbo=True)
+    r = p.generate("a cat", steps=1, seed=3)
+    assert r.latents.shape == (4, 16, 16)
+    # turbo ignores the negative prompt entirely
+    r2 = p.generate("a cat", neg_prompt="ugly", steps=1, seed=3)
+    assert np.array_equal(r.latents, r2.latents)
+
+
+def test_sdxl_vae_scale_differs(tiny_xl_pipe, tiny_pipe):
+    assert tiny_xl_pipe.vae_scale != tiny_pipe.vae_scale
+
+
+def test_sdxl_cli(tmp_path):
+    from onnxstream_tpu.cli.sd_main import main
+
+    out = str(tmp_path / "xl.png")
+    rc = main(["--synthetic", "tiny", "--xl", "--turbo", "--steps", "1",
+               "--prompt", "a cat", "--output", out, "--compute-dtype", "float32"])
+    assert rc == 0
+    import os
+
+    assert os.path.exists(out)
