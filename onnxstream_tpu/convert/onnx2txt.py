@@ -1,0 +1,301 @@
+"""onnx2txt — convert an ONNX model to the model.txt + .bin format.
+
+Functional re-host of the reference converter notebook
+(reference onnx2txt/onnx2txt.ipynb), with two deliberate differences:
+
+  * no `onnx` dependency: the protobuf is decoded by
+    onnxstream_tpu/convert/onnxproto.py;
+  * shape inference runs through this framework's own op implementations
+    (jax.eval_shape per node) instead of onnx.shape_inference, so any op the
+    runtime executes the converter can also infer.
+
+Behaviors preserved from the notebook:
+
+  * name mangling: non-alphanumeric chars -> _HEX_ (also src/bindings.py:310);
+  * Constant nodes inlined as weights;
+  * Gemm transA/transB folded by pre-transposing the weight, renamed
+    `*_transposed`, attribute dropped;
+  * Conv weights written twice: `*_nhwc.bin` (0,2,3,1 transpose) and
+    `*_nchw.bin` (the line references _nchw); Conv1D weights promoted to 4-D;
+  * int64 weights feeding Mul input 1 cast to float32;
+  * optional fp32->fp16 weight conversion;
+  * optional uint8 percentile quantization (0.1% tails, scale/zero folded into
+    the `uint8[scale,zp]:` dtype prefix) with the notebook's exclusions:
+    Conv bias, InstanceNormalization scale/bias, Resize scales.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from onnxstream_tpu.convert.onnxproto import NodeInfo, OnnxGraph, TensorInfo, load_onnx
+
+
+def mangle_name(name: str) -> str:
+    return "".join(c if c.isalnum() else f"_{ord(c):X}_" for c in name)
+
+
+def quantize_uint8(a: np.ndarray, from_left: float = 0.001, from_right: float = 0.001):
+    """Notebook quantize(): percentile range -> (uint8 array, scale, zero) or
+    None when not quantizable."""
+    flat = a.flatten().tolist()
+    s = sorted(f for f in flat if math.isfinite(f))
+    if len(s) == 1 and len(flat) == 1:
+        scale = abs(flat[0])
+        zero = 0 if flat[0] >= 0 else 2
+        return np.array([1], np.uint8), scale, zero
+    if len(s) >= 2:
+        left = s[int(len(s) * from_left)]
+        right = s[int(len(s) * from_right * -1 - 1)]
+        if left > 0 and right > 0:
+            left = 0
+        elif left < 0 and right < 0:
+            right = 0
+        if right > left:
+            scale = (right - left) / 255.0
+            zero = min(int(abs(left) / scale), 255)
+            q = np.clip(a / scale + zero, 0, 255).astype(np.uint8)
+            return q, scale, zero
+    return None
+
+
+_QUANT_EXCLUDED = {
+    # (op_type, input_index) combinations never quantized (notebook quantize())
+    ("Conv", 2),
+    ("InstanceNormalization", 1),
+    ("InstanceNormalization", 2),
+    ("Resize", 2),
+}
+
+
+class _ShapeInference:
+    """Per-node shape propagation through the runtime's op impls."""
+
+    def __init__(self, graph: OnnxGraph):
+        import jax
+
+        from onnxstream_tpu.dtypes import DType
+        from onnxstream_tpu.ir import OpNode, TensorSpec
+        from onnxstream_tpu.ops import Ctx, StaticRequired, get_impl
+        from onnxstream_tpu.runtime.config import SessionConfig
+
+        self.jax = jax
+        self.DType = DType
+        self.OpNode = OpNode
+        self.TensorSpec = TensorSpec
+        self.Ctx = Ctx
+        self.StaticRequired = StaticRequired
+        self.get_impl = get_impl
+        self.config = SessionConfig(compute_dtype="float32")
+        # name -> ('static', np array) | ('sym', ShapeDtypeStruct)
+        self.env: Dict[str, tuple] = {}
+        for t in graph.inputs:
+            if t.name in graph.initializers:
+                continue
+            from onnxstream_tpu.convert.onnxproto import DTYPE_OF
+
+            dt = DTYPE_OF.get(t.elem_type, np.dtype(np.float32))
+            self.env[t.name] = ("sym", jax.ShapeDtypeStruct(t.dims, dt))
+        for name, t in graph.initializers.items():
+            self.env[name] = ("static", t.data)
+
+    def add_constant(self, name: str, arr: np.ndarray) -> None:
+        self.env[name] = ("static", arr)
+
+    def _attr_str(self, v) -> str:
+        if isinstance(v, (list, tuple)):
+            return ",".join(str(x) for x in v)
+        if isinstance(v, TensorInfo):
+            vals = v.data.flatten().tolist()
+            return str(vals[0])
+        if isinstance(v, float):
+            return str(v)
+        return str(v)
+
+    def infer(self, node: NodeInfo) -> List[Tuple[Tuple[int, ...], np.dtype]]:
+        """Output (shape, dtype) list; also folds static ops so downstream
+        shape math keeps concrete values."""
+        jax = self.jax
+        attrs = {k: self._attr_str(v) for k, v in node.attrs.items()}
+        in_specs = [self.TensorSpec(name=mangle_name(n) if n else "") for n in node.inputs]
+        out_specs = [self.TensorSpec(name=mangle_name(n)) for n in node.outputs]
+        op = self.OpNode(name=node.name or node.op_type, op_type=node.op_type,
+                         inputs=in_specs, outputs=out_specs, attrs=attrs)
+        impl = self.get_impl(node.op_type)
+
+        resolved = []
+        for n in node.inputs:
+            if not n:
+                resolved.append(("none", None))
+            elif n in self.env:
+                resolved.append(self.env[n])
+            else:
+                raise ValueError(f"{node.op_type} {node.name}: unknown input {n!r}")
+
+        if all(k in ("static", "none") for k, _ in resolved):
+            ctx = self.Ctx(np, "host", self.config, op.name)
+            outs = impl.fn(ctx, op, [v for _, v in resolved])
+            outs = [np.asarray(o) for o in outs]
+            for name, o in zip(node.outputs, outs):
+                self.env[name] = ("static", o)
+            return [(tuple(o.shape), o.dtype) for o in outs]
+
+        static_idx: set = set()
+        for _ in range(len(node.inputs) + 1):
+            ins: List = []
+            sym_slots: List[int] = []
+            sym_avals: List = []
+            for i, (kind, val) in enumerate(resolved):
+                if kind == "none":
+                    ins.append(None)
+                elif kind == "static" or i in static_idx:
+                    ins.append(np.asarray(val) if not isinstance(val, np.ndarray) else val)
+                else:
+                    ins.append(None)
+                    sym_slots.append(i)
+                    sym_avals.append(val)
+
+            def run(*sym_vals):
+                local = list(ins)
+                for slot, v in zip(sym_slots, sym_vals):
+                    local[slot] = v
+                import jax.numpy as jnp
+
+                return impl.fn(self.Ctx(jnp, "device", self.config, op.name), op, local)
+
+            try:
+                out_avals = jax.eval_shape(run, *sym_avals)
+                break
+            except self.StaticRequired as e:
+                kind, val = resolved[e.index]
+                if kind == "sym":
+                    raise ValueError(
+                        f"{node.op_type} {node.name}: input {e.index} must be a constant"
+                    )
+                static_idx.add(e.index)
+        else:
+            raise ValueError(f"{node.op_type} {node.name}: static resolution failed")
+
+        outs = list(out_avals) if isinstance(out_avals, (list, tuple)) else [out_avals]
+        res = []
+        for name, o in zip(node.outputs, outs):
+            self.env[name] = ("sym", jax.ShapeDtypeStruct(o.shape, o.dtype))
+            res.append((tuple(int(d) for d in o.shape), np.dtype(o.dtype)))
+        return res
+
+
+def convert(
+    onnx_bytes_or_path,
+    dest_folder: str,
+    fp16: bool = False,
+    quantize: bool = False,
+    mangle: bool = True,
+) -> str:
+    """Convert ONNX -> dest_folder/model.txt (+ .bin weights). Returns the
+    model.txt contents."""
+    if isinstance(onnx_bytes_or_path, (bytes, bytearray, memoryview)):
+        data = bytes(onnx_bytes_or_path)
+    else:
+        data = open(onnx_bytes_or_path, "rb").read()
+    graph = load_onnx(data)
+    os.makedirs(dest_folder, exist_ok=True)
+
+    def final_name(n: str) -> str:
+        return mangle_name(n) if mangle else n
+
+    inference = _ShapeInference(graph)
+    # Constant nodes become weights (notebook op_constants)
+    nodes: List[NodeInfo] = []
+    constants: Dict[str, TensorInfo] = {}
+    for node in graph.nodes:
+        if node.op_type == "Constant" and len(node.outputs) == 1 and not node.inputs:
+            t = node.attrs.get("value")
+            if not isinstance(t, TensorInfo):
+                raise ValueError(f"Constant {node.name}: unsupported attribute set")
+            constants[node.outputs[0]] = t
+            inference.add_constant(node.outputs[0], t.data)
+            continue
+        nodes.append(node)
+
+    weights = dict(graph.initializers)
+    for n, t in constants.items():
+        weights[n] = t
+    graph_io_shapes = {t.name: t.dims for t in list(graph.inputs) + list(graph.outputs)}
+
+    def save_bin(name: str, arr: np.ndarray) -> None:
+        arr.tofile(os.path.join(dest_folder, name))
+
+    lines: List[str] = []
+    for node in nodes:
+        out_shapes = inference.infer(node)
+
+        def weight_ref(wname: str, input_index: int) -> str:
+            t = weights[wname]
+            a = np.asarray(t.data)
+            name = final_name(wname)
+            # int64 feeding Mul input 1 is numeric, not shape math
+            if node.op_type == "Mul" and input_index == 1 and a.dtype == np.int64:
+                a = a.astype(np.float32)
+            if fp16 and a.dtype == np.float32:
+                a = a.astype(np.float16)
+            tstr = str(a.dtype)
+            if tstr not in ("float32", "float16", "int64"):
+                raise ValueError(f"weight {wname}: unsupported dtype {tstr}")
+            if quantize and a.dtype == np.float32 and (node.op_type, input_index) not in _QUANT_EXCLUDED:
+                q = quantize_uint8(a)
+                if q is not None:
+                    a, scale, zero = q
+                    tstr = f"uint8[{scale},{zero}]"
+            if node.op_type == "Gemm":
+                trans_attr = "transA" if input_index == 0 else "transB" if input_index == 1 else None
+                if trans_attr and int(node.attrs.get(trans_attr, 0) or 0):
+                    a = np.ascontiguousarray(a.T)
+                    name += "_transposed"
+                    node.attrs.pop(trans_attr, None)
+            elif node.op_type == "Conv" and input_index in (0, 1):
+                if a.ndim == 3:  # Conv1D promote
+                    a = a[..., np.newaxis]
+                if a.ndim != 4:
+                    raise ValueError(f"Conv weight {wname}: rank {a.ndim}")
+                save_bin(name + "_nhwc.bin", np.ascontiguousarray(np.transpose(a, (0, 2, 3, 1))))
+                name += "_nchw"
+            shape = ",".join(str(d) for d in a.shape)
+            save_bin(name + ".bin", np.ascontiguousarray(a))
+            return f"{name}.bin({tstr}:{shape})"
+
+        parts = [f"{final_name(node.name) if node.name else node.op_type}:{node.op_type}"]
+        ins = []
+        for i, n in enumerate(node.inputs):
+            if not n:
+                ins.append("")
+            elif n in weights:
+                ins.append(weight_ref(n, i))
+            else:
+                kind, val = inference.env[n]
+                shape = val.shape if kind == "sym" else np.asarray(val).shape
+                if n in graph_io_shapes and not shape:
+                    shape = graph_io_shapes[n]
+                ins.append(f"{final_name(n)}({','.join(str(d) for d in shape)})")
+        parts.append("input:" + ";".join(ins))
+
+        outs = []
+        for (shape, _dt), n in zip(out_shapes, node.outputs):
+            outs.append(f"{final_name(n)}({','.join(str(d) for d in shape)})")
+        parts.append("output:" + ";".join(outs))
+
+        attrs = []
+        for k, v in node.attrs.items():
+            attrs.append(f"{k}:{inference._attr_str(v)}")
+        if attrs:
+            parts.append(";".join(attrs))
+
+        lines.append("*".join(parts))
+
+    text = "\n".join(lines) + "\n"
+    with open(os.path.join(dest_folder, "model.txt"), "w") as f:
+        f.write(text)
+    return text

@@ -63,6 +63,11 @@ class Plan:
     op_modes: List[str]  # 'host' | 'device'
     avals: Dict[str, jax.ShapeDtypeStruct]  # device tensor avals (by name)
     fetch_names: List[str]
+    # graph inputs pinned as host constants because an op demanded them
+    # statically (the browser-protocol Slice/Split argument tensors,
+    # reference examples/YOLOv8n_wasm/index.html:559-564); the session
+    # re-plans when their VALUES change
+    pinned_inputs: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
 
     @property
     def arg_weight_index(self) -> Dict[str, int]:
@@ -94,7 +99,8 @@ def _upload_dtype(spec: TensorSpec, config: SessionConfig):
 
 
 class _Planner:
-    def __init__(self, graph: Graph, config: SessionConfig, input_avals, weight_loader):
+    def __init__(self, graph: Graph, config: SessionConfig, input_avals, weight_loader,
+                 input_values=None):
         self.graph = graph
         self.config = config
         # float graph inputs are converted to the compute dtype at entry, and
@@ -119,6 +125,8 @@ class _Planner:
         self._arg_set: Dict[str, WeightArg] = {}
         self.avals: Dict[str, jax.ShapeDtypeStruct] = {}
         self.op_modes: List[str] = []
+        self.input_values = input_values or {}
+        self.pinned_inputs: Dict[str, np.ndarray] = {}
 
     # -- value resolution ----------------------------------------------------
     def _resolve(self, spec: TensorSpec):
@@ -240,6 +248,15 @@ class _Planner:
                 if spec.is_weight and spec.name not in self.static_weights:
                     self._pin_static_weight(spec)
                     continue
+                if (spec.name in self.input_avals and spec.name in self.input_values
+                        and spec.name not in self.static_env):
+                    # a pushed tensor used as a static op argument: pin its
+                    # current value; the session keys the compiled executor
+                    # on it and re-plans if the client pushes a new value
+                    val = np.asarray(self.input_values[spec.name])
+                    self.static_env[spec.name] = val
+                    self.pinned_inputs[spec.name] = val
+                    continue
                 raise PlanError(
                     f"{op.name} ({op.op_type}): input {e.index} ({spec.name!r}) must be "
                     f"statically known but is a runtime tensor — this graph needs "
@@ -295,6 +312,7 @@ class _Planner:
             op_modes=self.op_modes,
             avals=self.avals,
             fetch_names=list(fetch_names),
+            pinned_inputs=self.pinned_inputs,
         )
 
 
@@ -304,9 +322,10 @@ def plan_graph(
     input_avals: Dict[str, jax.ShapeDtypeStruct],
     weight_loader,
     fetch_names: Optional[Sequence[str]] = None,
+    input_values: Optional[Dict[str, np.ndarray]] = None,
 ) -> Plan:
     if fetch_names is None:
         fetch_names = graph.output_names() + [n for n in config.extra_outputs if n not in graph.output_names()]
     else:
         fetch_names = list(fetch_names)
-    return _Planner(graph, config, input_avals, weight_loader).plan(fetch_names)
+    return _Planner(graph, config, input_avals, weight_loader, input_values).plan(fetch_names)

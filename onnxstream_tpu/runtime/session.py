@@ -129,15 +129,31 @@ class Session:
         return tuple(items)
 
     def _executor(self) -> Executor:
-        key = self._bucket_key()
-        ex = self._executors.get(key)
-        if ex is None:
-            input_avals = {}
-            for name, shape, dtype in key:
-                input_avals[name] = jax.ShapeDtypeStruct(shape, np.dtype(dtype))
-            plan = plan_graph(self.graph, self.config, input_avals, self._loader)
-            ex = Executor(plan, self.provider)
-            self._executors[key] = ex
+        skey = self._bucket_key()
+        # an executor matches if its shape bucket AND the values of any inputs
+        # its plan pinned statically (Slice/Split argument tensors pushed by
+        # the client, reference YOLOv8n_wasm/index.html:559-564) both match
+        for (k, _pins), ex in self._executors.items():
+            if k != skey:
+                continue
+            if all(
+                n in self.tensors and np.array_equal(np.asarray(self.tensors[n]), v)
+                for n, v in ex.plan.pinned_inputs.items()
+            ):
+                return ex
+        input_avals = {}
+        for name, shape, dtype in skey:
+            input_avals[name] = jax.ShapeDtypeStruct(shape, np.dtype(dtype))
+        values = {
+            name: np.asarray(v)
+            for name, v in self.tensors.items()
+            if isinstance(v, np.ndarray)
+        }
+        plan = plan_graph(self.graph, self.config, input_avals, self._loader,
+                          input_values=values)
+        ex = Executor(plan, self.provider)
+        pins = tuple(sorted((n, v.tobytes()) for n, v in plan.pinned_inputs.items()))
+        self._executors[(skey, pins)] = ex
         return ex
 
     def run(self, eager: bool = False, device_outputs: bool = False) -> Dict[str, np.ndarray]:
