@@ -22,6 +22,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute-dtype", default="bfloat16", choices=["float32", "bfloat16", "float16"])
     p.add_argument("--device", default="", choices=["", "cpu", "tpu"])
     p.add_argument("--ops-printf", action="store_true")
+    p.add_argument("--download", action="store_true",
+                   help="fetch the model from HF into --models-path if missing (reference llm.cpp:137-200)")
     return p
 
 
@@ -49,6 +51,11 @@ def main(argv=None) -> int:
 
         import numpy as np
 
+        if args.download:
+            from onnxstream_tpu.utils.download import download_model
+
+            name = "TinyLlama-1.1B-Chat-v0.3-fp16" if is_tiny else "Mistral-7B-Instruct-v0.2-fp16"
+            download_model(name, args.models_path)
         cfg = TINYLLAMA if is_tiny else MISTRAL
         tok = SentencePieceBPE.from_file(os.path.join(args.models_path, "vocab.txt"), is_tiny=is_tiny)
         weights = {}

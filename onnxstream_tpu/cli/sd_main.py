@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ram", action="store_true", help="weights resident (default on TPU)")
     p.add_argument("--hbm-budget-mb", type=int, default=0, help="stream weights within this HBM budget")
     p.add_argument("--synthetic", choices=["tiny", "sd15"], default="", help="run random-weight models")
+    p.add_argument("--download", action="store_true",
+                   help="fetch the model from HF into --models-path if missing (reference sd.cpp:3101-3199)")
     p.add_argument("--decoder-calibrate", action="store_true")
     p.add_argument("--device", default="", choices=["", "cpu", "tpu"], help="force jax backend")
     return p
@@ -63,6 +65,13 @@ def main(argv=None) -> int:
                                                       compute_dtype=args.compute_dtype,
                                                       xl=args.xl, turbo=args.turbo)
     elif args.models_path:
+        if args.download:
+            from onnxstream_tpu.utils.download import download_model
+
+            name = ("stable-diffusion-xl-turbo-1.0" if args.turbo
+                    else "stable-diffusion-xl-base-1.0" if args.xl
+                    else "stable-diffusion-1.5")
+            download_model(name, args.models_path)
         pipe = StableDiffusionPipeline.from_dir(
             args.models_path, xl=args.xl, turbo=args.turbo,
             compute_dtype=args.compute_dtype, res=(w, h),
