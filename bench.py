@@ -50,11 +50,31 @@ def main() -> None:
     out = s.run()  # compile + weight upload
     setup_s = time.time() - t_setup
 
-    # steady-state timing (weights HBM-resident, like the reference's --ram mode)
-    n_iter = 10
+    # steady-state timing: chained device-resident steps (out_sample feeds the
+    # next step's sample, like a real diffusion loop with device-side CFG) and
+    # ONE final host fetch — per-step D2H would otherwise dominate on a
+    # tunneled chip (~50 ms round trip) and measure the link, not the model.
+    import jax
+
+    ex = s._executor()
+    seg = ex.segments[0]
+    weights = [ex._device_weight_cache[w.name] for w in seg.weight_args]
+    acts = {k: jax.device_put(np.asarray(v, np.float32)) for k, v in inputs.items()}
+    cf = ex._compiled(0)
+    out_name = "out_sample" if "out_sample" in seg.out_names else seg.out_names[0]
+    r = cf(weights, acts)
+    # warm the feedback signature (sample arrives in compute dtype)
+    a = dict(acts)
+    a["sample"] = r[out_name]
+    r = cf(weights, a)
+    jax.block_until_ready(r)
+
+    n_iter = 30
     t0 = time.time()
     for _ in range(n_iter):
-        out = s.run()
+        r = cf(weights, a)
+        a["sample"] = r[out_name]
+    np.asarray(jax.device_get(r[out_name]))
     dt_ms = (time.time() - t0) / n_iter * 1e3
 
     result = {

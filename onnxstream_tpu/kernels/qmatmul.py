@@ -1,0 +1,177 @@
+"""W8A8 asymmetric-uint8 matmul Pallas kernel.
+
+Quantized counterpart of the reference's XNNPACK qu8 fully-connected path
+(reference src/onnxstream.cpp:1104-1208 wiring, W8A8 MatMul dispatch
+5669-5860): activations and weights arrive as uint8 with (scale, zero_point),
+output is requantized uint8 (or dequantized float).
+
+Math: for A_q (M,K) u8 / W_q (K,N) u8,
+
+    acc[i,j] = sum_k (A_q[i,k] - za) * (W_q[k,j] - zw)
+             = dot(A_q, W_q)[i,j] - za * colsum(W_q)[j]
+               - zw * rowsum(A_q)[i] + K * za * zw
+
+The dot runs on the MXU in bfloat16 (u8 values <= 255 are exact in bf16;
+products are exact in the fp32 accumulator), the correction terms are
+precomputed rank-1 vectors fused into the epilogue, and the requantization
+    out_q = clamp(round(acc * (sa*sw/so)) + zo)
+happens in-kernel so the int32-sized intermediate never touches HBM.
+fp32 accumulation differs from XNNPACK's exact int32 by < 1 ULP relative
+~2^-24 for K up to a few thousand — well inside calibration tolerance.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _qmm_kernel(a_ref, w_ref, arow_ref, wcol_ref, bias_ref, o_ref, acc_scr, *,
+                nk: int, k_total: int, za: float, zw: float,
+                alpha: float, beta: float, out_u8: bool):
+    kstep = pl.program_id(2)
+
+    @pl.when(kstep == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    # Mosaic has no direct u8->bf16 cast; u8 -> i32 -> f32 -> bf16 is exact
+    # for values <= 255
+    a = a_ref[...].astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+    w = w_ref[...].astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+    acc_scr[...] += jnp.dot(a, w, preferred_element_type=jnp.float32)
+
+    @pl.when(kstep == nk - 1)
+    def _finish():
+        acc = acc_scr[...]
+        acc = acc - za * wcol_ref[...] - zw * arow_ref[...] + k_total * za * zw
+        if bias_ref is not None:
+            acc = acc + bias_ref[...]
+        out = acc * alpha + beta
+        if out_u8:
+            # Mosaic lacks f32->u8; round to i32 first
+            o_ref[...] = jnp.clip(jnp.round(out), 0, 255).astype(jnp.int32).astype(jnp.uint8)
+        else:
+            o_ref[...] = out.astype(o_ref.dtype)
+
+
+def _pad_to(x, mult, axis):
+    pad = (-x.shape[axis]) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def qmatmul(
+    a_q: jax.Array,
+    w_q: jax.Array,
+    a_scale: float,
+    a_zero: int,
+    w_scale: float,
+    w_zero: int,
+    out_scale: Optional[float] = None,
+    out_zero: Optional[int] = None,
+    bias: Optional[jax.Array] = None,
+    out_dtype=jnp.float32,
+    block_m: int = 256,
+    block_n: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """(..., M, K) u8 x (K, N) u8 -> requantized u8 (when out_scale given) or
+    dequantized float. `bias` is a float (N,) vector added BEFORE output
+    scaling, in accumulator units times a_scale*w_scale (i.e. a float bias
+    b is passed as b / (a_scale*w_scale), matching the reference's int32
+    bias rescale src/onnxstream.cpp:4639-4660)."""
+    orig_shape = a_q.shape
+    K = orig_shape[-1]
+    N = w_q.shape[-1]
+    a2 = a_q.reshape(-1, K)
+    M = a2.shape[0]
+
+    out_u8 = out_scale is not None
+    alpha = float(a_scale * w_scale) * (1.0 / float(out_scale) if out_u8 else 1.0)
+    beta = float(out_zero) if out_u8 else 0.0
+
+    # rank-1 zero-point corrections (fused by XLA into the u8->bf16 reads)
+    arow = jnp.sum(a2.astype(jnp.float32), axis=1, keepdims=True)  # (M, 1)
+    wcol = jnp.sum(w_q.astype(jnp.float32), axis=0, keepdims=True)  # (1, N)
+
+    bm = min(block_m, max(32, 1 << (M - 1).bit_length()))
+    bn = min(block_n, max(128, 1 << (N - 1).bit_length()))
+    bk = min(block_k, max(128, 1 << (K - 1).bit_length()))
+    ap = _pad_to(_pad_to(a2, bm, 0), bk, 1)
+    wp = _pad_to(_pad_to(w_q, bk, 0), bn, 1)
+    arow_p = _pad_to(arow, bm, 0)
+    wcol_p = _pad_to(wcol, bn, 1)
+    Mp, Kp = ap.shape
+    Np = wp.shape[1]
+    nk = Kp // bk
+
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+        pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+        pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0)),
+        pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+    ]
+    args = [ap, wp, arow_p, wcol_p]
+    if bias is not None:
+        bias_p = _pad_to(jnp.asarray(bias, jnp.float32).reshape(1, N), bn, 1)
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j, k: (0, j)))
+        args.append(bias_p)
+        kernel = functools.partial(
+            _qmm_kernel, nk=nk, k_total=K, za=float(a_zero), zw=float(w_zero),
+            alpha=alpha, beta=beta, out_u8=out_u8,
+        )
+    else:
+        kernel = functools.partial(
+            lambda a, w, ar, wc, o, acc, **kw: _qmm_kernel(a, w, ar, wc, None, o, acc, **kw),
+            nk=nk, k_total=K, za=float(a_zero), zw=float(w_zero),
+            alpha=alpha, beta=beta, out_u8=out_u8,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(Mp // bm, Np // bn, nk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.uint8 if out_u8 else out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Np * Kp,
+            bytes_accessed=Mp * Kp + Kp * Np + Mp * Np,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    out = out[:M, :N]
+    return out.reshape(orig_shape[:-1] + (N,))
+
+
+def quantize_activation(x: jax.Array, scale: float, zero: int) -> jax.Array:
+    """float -> u8 with the runtime's quantize math (onnxstream.cpp:3247)."""
+    return jnp.clip(jnp.round(x / scale) + zero, 0, 255).astype(jnp.uint8)
+
+
+def qmatmul_reference(a_q, w_q, a_scale, a_zero, w_scale, w_zero,
+                      out_scale=None, out_zero=None, bias=None):
+    """Exact int32 oracle for tests (the XNNPACK-equivalent math)."""
+    a = np.asarray(a_q, np.int32) - int(a_zero)
+    w = np.asarray(w_q, np.int32) - int(w_zero)
+    acc = a.reshape(-1, a.shape[-1]) @ w
+    acc = acc.astype(np.float64)
+    if bias is not None:
+        acc = acc + np.asarray(bias, np.float64)
+    out = acc * (a_scale * w_scale)
+    if out_scale is not None:
+        q = np.clip(np.round(out / out_scale) + out_zero, 0, 255).astype(np.uint8)
+        return q.reshape(a_q.shape[:-1] + (w.shape[-1],))
+    return out.astype(np.float32).reshape(a_q.shape[:-1] + (w.shape[-1],))

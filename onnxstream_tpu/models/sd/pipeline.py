@@ -182,15 +182,21 @@ class StableDiffusionPipeline:
             p = os.path.join(path, sub, "model.txt")
             if not os.path.exists(p):
                 return None
-            s = Session(
-                config=SessionConfig(
-                    compute_dtype=compute_dtype,
-                    fuse_ops_in_attention=True,
-                    support_dynamic_shapes=dynamic,
-                    hbm_budget_bytes=hbm_budget_bytes,
-                ),
-                weights_provider_name=provider,
+            cfg = SessionConfig(
+                compute_dtype=compute_dtype,
+                fuse_ops_in_attention=True,
+                support_dynamic_shapes=dynamic,
+                hbm_budget_bytes=hbm_budget_bytes,
             )
+            # calibrated quantized decoder: load ranges and enable W8A8
+            # (reference decoder_solver, src/sd.cpp:1214-1241)
+            ranges = os.path.join(path, sub, "range_data.txt")
+            if sub.endswith("_qu8") and os.path.exists(ranges):
+                from onnxstream_tpu.runtime.quantization import RangeData
+
+                cfg.range_data = RangeData.read(ranges).data
+                cfg.use_uint8_arithmetic = True
+            s = Session(config=cfg, weights_provider_name=provider)
             s.read_file(p)
             return s
 

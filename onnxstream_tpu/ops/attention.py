@@ -50,22 +50,25 @@ def sdpa_reference(q, k, v, mask=None, scale=None, k_transposed=False, causal=Fa
         k = jnp.repeat(k, rep, axis=-3)
         v = jnp.repeat(v, rep, axis=-3)
 
-    logits = jnp.einsum("...md,...nd->...mn", q, k, preferred_element_type=jnp.float32)
-    logits = logits * jnp.float32(scale)
+    # scores stay in the compute dtype (the fp32 work happens inside a fused
+    # cast->softmax->cast island, like the unfused Softmax op) — an fp32
+    # score materialization would double the dominant HBM traffic
+    logits = jnp.einsum("...md,...nd->...mn", q, k)
+    logits = logits * jnp.asarray(scale, logits.dtype)
     if mask is not None:
-        logits = logits + mask.astype(jnp.float32)
+        logits = logits + mask.astype(logits.dtype)
     if causal:
         m, n = logits.shape[-2], logits.shape[-1]
         row = jax.lax.broadcasted_iota(jnp.int32, (m, n), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1)
-        neg = jnp.asarray(-1e30, jnp.float32)
+        neg = jnp.asarray(-1e30, logits.dtype)
         logits = jnp.where(col <= row + (n - m), logits, neg)
-    probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("...mn,...nd->...md", probs.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+    out = jnp.einsum("...mn,...nd->...md", probs, v, preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
 
 
-def _use_flash(config, q, k) -> bool:
+def _use_flash(config, q, k, k_transposed=False) -> bool:
     if config is not None and not getattr(config, "use_flash_attention", True):
         return False
     try:
@@ -78,7 +81,17 @@ def _use_flash(config, q, k) -> bool:
         return False
     # head dims are zero-padded to the lane width inside the kernel
     d = q.shape[-1]
-    return d % 8 == 0 and q.shape[-2] >= 8 and q.ndim in (3, 4)
+    if not (d % 8 == 0 and q.shape[-2] >= 8 and q.ndim in (3, 4)):
+        return False
+    # per-shape choice: for small score matrices XLA's materialized
+    # matmul+softmax+matmul is faster than the blockwise kernel (measured
+    # 14.4 vs 16.0 ms/step on the SD1.5 UNet); flash only pays once the
+    # scores would strain HBM (SDXL 16k sequences, long-context LLM)
+    heads = q.shape[-3] if q.ndim >= 3 else 1
+    batch = q.shape[0] if q.ndim == 4 else 1
+    kv_len = k.shape[-1] if k_transposed else k.shape[-2]
+    score_bytes = 2 * batch * heads * q.shape[-2] * kv_len
+    return score_bytes > (512 << 20)
 
 
 @register("ostpu.sdpa")
@@ -89,7 +102,7 @@ def _sdpa(ctx: Ctx, op, ins):
     k_transposed = bool(op.attr_int("k_transposed", 0))
     causal = bool(op.attr_int("causal", 0))
 
-    if _use_flash(ctx.config, q, k):
+    if _use_flash(ctx.config, q, k, k_transposed):
         from onnxstream_tpu.kernels.flash_attention import flash_attention
 
         try:

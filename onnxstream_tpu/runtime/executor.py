@@ -187,7 +187,42 @@ class Executor:
         return out
 
     # --------------------------------------------------------------- op eval
+    def _qmatmul_applies(self, op: OpNode) -> bool:
+        """W8A8 path: uint8 weight + calibrated activation range for this op
+        (reference static-W8A8 MatMul, src/onnxstream.cpp:5790-5795)."""
+        return (
+            self.config.use_uint8_arithmetic
+            and op.op_type == "MatMul"
+            and len(op.inputs) >= 2
+            and op.inputs[1].is_weight
+            and op.inputs[1].dtype == DType.uint8
+            and op.name in self.config.range_data
+        )
+
+    def _eval_qmatmul(self, op: OpNode, env, weights_env):
+        """Quantize the input activation with its calibrated range, run the
+        W8A8 Pallas matmul (int math on the MXU, zero-point corrections and
+        dequantization fused in-kernel), return the float result."""
+        from onnxstream_tpu.kernels.qmatmul import qmatmul, quantize_activation
+
+        cdt = self.config.np_compute_dtype
+        a = env[op.inputs[0].name]
+        w_raw = weights_env[op.inputs[1].name]
+        w = next(w for w in self.plan.arg_weights if w.name == op.inputs[1].name)
+        w_scale, w_zero = w.quant
+        lo, hi = self.config.range_data[op.name]
+        a_scale, a_zero = range_to_scale(lo, hi)
+        a_q = quantize_activation(a.astype(jnp.float32), a_scale, a_zero)
+        out = qmatmul(
+            a_q, w_raw, a_scale, a_zero, w_scale, w_zero,
+            out_dtype=cdt,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return [out.astype(cdt)]
+
     def _eval_op(self, op: OpNode, env: Dict[str, Any], weights_env: Dict[str, Any]):
+        if self._qmatmul_applies(op):
+            return self._eval_qmatmul(op, env, weights_env)
         impl = get_impl(op.op_type)
         cdt = self.config.np_compute_dtype
         ins: List[Any] = []
