@@ -113,7 +113,7 @@ class StableDiffusionPipeline:
     # ----------------------------------------------------------- constructors
     @classmethod
     def from_synthetic(cls, tiny: bool = True, seed: int = 0, compute_dtype: str = "float32",
-                       xl: bool = False, turbo: bool = False):
+                       xl: bool = False, turbo: bool = False, batch: int = 1):
         """Architecture-faithful graphs with random weights (tests/bench)."""
         from onnxstream_tpu.models.sd.clip import (
             CLIP_BIGG,
@@ -145,7 +145,7 @@ class StableDiffusionPipeline:
 
         te = mk(build_text_encoder(ccfg, seed=seed))
         te2 = mk(build_text_encoder(ccfg2, seed=seed + 7)) if ccfg2 else None
-        un = mk(build_unet(ucfg, seed=seed + 1))
+        un = mk(build_unet(ucfg, batch=batch, seed=seed + 1))
         lat = ucfg.sample_size
         vd = mk(build_vae_decoder(dataclasses.replace(vcfg, sample=lat), seed=seed + 2))
         # tile decoder: same weights (identical builder stream), tile-sized
@@ -381,6 +381,100 @@ class StableDiffusionPipeline:
 
         image = self.decode(x, tiled=tiled_decode) if decode and self.vae_decoder is not None else None
         return GenerationResult(image=image, latents=x, previews=previews)
+
+    # -------------------------------------------------------- batched generate
+    def _denoise_batch(self, xb: np.ndarray, sigma: float, conds, unconds, cfg_scale: float) -> np.ndarray:
+        """CFG denoise over a real batch (N,4,h,w) — the TPU-native form of
+        the reference's N-coroutine batch replay (src/sd.cpp:1031-1161,
+        onnxstream.cpp:3817-3847): one MXU pass over all images instead of N
+        sequential op replays."""
+        c_in, c_out = sched.get_scalings(sigma)
+        t = sched.sigma_to_t(sigma)
+        names = self._unet_input_names()
+        N = xb.shape[0]
+
+        def run(branches) -> np.ndarray:
+            ctx = np.stack([b["context"] if isinstance(b, dict) else b for b in branches])
+            self.unet.clear_tensors()
+            self.unet.add_tensor(names["sample"], (xb * np.float32(c_in)).astype(np.float32))
+            self.unet.add_tensor(names["timestep"], np.array([t], np.float32))
+            self.unet.add_tensor(names["context"], ctx.astype(np.float32))
+            if "time_ids" in names:
+                self.unet.add_tensor(names["time_ids"], np.tile(SDXL_TIME_IDS, (N, 1)))
+            if "text_embeds" in names and isinstance(branches[0], dict):
+                self.unet.add_tensor(names["text_embeds"],
+                                     np.concatenate([b["pooled"] for b in branches], axis=0))
+            out = self.unet.run()
+            eps = next(v for v in out.values() if v.ndim == 4)
+            return np.asarray(eps, np.float32) * np.float32(c_out) + xb
+
+        den_c = run(conds)
+        if self.turbo or unconds is None:
+            return den_c
+        den_u = run(unconds)
+        return den_u + np.float32(cfg_scale) * (den_c - den_u)
+
+    def generate_batch(
+        self,
+        prompts: List[str],
+        neg_prompts: Optional[List[str]] = None,
+        steps: int = 10,
+        seeds: Optional[List[int]] = None,
+        sampler: str = "euler_a",
+        cfg_scale: float = 7.0,
+        decode: bool = True,
+        tiled_decode: bool = False,
+    ) -> List[GenerationResult]:
+        """Generate len(prompts) images with one batched UNet. The sampler
+        math stays per-image (own seed, own history), so image i is
+        bit-identical to a sequential generate() with the same seed."""
+        N = len(prompts)
+        batch_in = next(
+            spec.shape[0] for n, spec in self.unet.graph.inputs.items()
+            if n == self._unet_input_names()["sample"]
+        )
+        if batch_in != N:
+            raise ValueError(
+                f"unet session has batch {batch_in}; build the pipeline with batch={N} "
+                f"(from_synthetic(batch=N)) or generate sequentially"
+            )
+        seeds = seeds if seeds is not None else list(range(42, 42 + N))
+        neg_prompts = neg_prompts if neg_prompts is not None else [""] * N
+
+        enc = self.encode_prompt_xl if self.xl else self.encode_prompt
+        conds = [enc(p) for p in prompts]
+        unconds = None if self.turbo else [enc(p) for p in neg_prompts]
+
+        sigma = sched.sigma_schedule(steps)
+        xs = [
+            np.asarray(randn_4_w_h(seeds[i] % 1000, self.latw, self.lath) * sigma[0], np.float32)
+            for i in range(N)
+        ]
+        states = [S.SamplerState(sampler, steps, seed=seeds[i], turbo=self.turbo) for i in range(N)]
+
+        for i in range(steps):
+            xb = np.stack([S.prescale_sample(x, sampler, steps, i, sigma, self.turbo) for x in xs])
+            den = self._denoise_batch(xb, float(sigma[i]), conds, unconds, cfg_scale)
+
+            def mk_denoise_fn(j):
+                # multi-stage samplers re-call the denoiser per image: replicate
+                # that image across the batch and take its row
+                def fn(x2, s):
+                    return self._denoise_batch(
+                        np.tile(x2[None], (N, 1, 1, 1)), float(s), conds, unconds, cfg_scale
+                    )[j]
+                return fn
+
+            xs = [
+                S.sampler_step(states[j], xb[j], den[j], sigma, i, mk_denoise_fn(j))
+                for j in range(N)
+            ]
+
+        results = []
+        for j in range(N):
+            img = self.decode(xs[j], tiled=tiled_decode) if decode and self.vae_decoder is not None else None
+            results.append(GenerationResult(image=img, latents=xs[j], previews=[]))
+        return results
 
     # ----------------------------------------------------------------- decode
     def decode(self, latents: np.ndarray, tiled: bool = False) -> np.ndarray:

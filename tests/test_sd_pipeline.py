@@ -251,3 +251,34 @@ def test_sdxl_cli(tmp_path):
     import os
 
     assert os.path.exists(out)
+
+
+# ------------------------------------------------------- batched generation
+def test_generate_batch_matches_sequential():
+    from onnxstream_tpu.models.sd.pipeline import StableDiffusionPipeline
+
+    seq = StableDiffusionPipeline.from_synthetic(tiny=True)
+    bat = StableDiffusionPipeline.from_synthetic(tiny=True, batch=2)
+    prompts = ["a photo of a cat", "a dog"]
+    seeds = [7, 11]
+    r_seq = [seq.generate(p, steps=2, seed=s, decode=False) for p, s in zip(prompts, seeds)]
+    r_bat = bat.generate_batch(prompts, steps=2, seeds=seeds, decode=False)
+    for a, b in zip(r_seq, r_bat):
+        np.testing.assert_allclose(a.latents, b.latents, rtol=2e-4, atol=2e-5)
+
+
+def test_generate_batch_multistage_sampler():
+    from onnxstream_tpu.models.sd.pipeline import StableDiffusionPipeline
+
+    bat = StableDiffusionPipeline.from_synthetic(tiny=True, batch=2)
+    r = bat.generate_batch(["a cat", "a dog"], steps=2, seeds=[1, 2], sampler="heun", decode=False)
+    assert len(r) == 2 and r[0].latents.shape == (4, 16, 16)
+    assert not np.allclose(r[0].latents, r[1].latents)
+
+
+def test_generate_batch_wrong_batch_raises():
+    from onnxstream_tpu.models.sd.pipeline import StableDiffusionPipeline
+
+    p = StableDiffusionPipeline.from_synthetic(tiny=True)
+    with pytest.raises(ValueError):
+        p.generate_batch(["a", "b"], steps=1, decode=False)

@@ -81,3 +81,29 @@ def test_http_option_roundtrip(server_url):
     with pytest.raises(urllib.error.HTTPError):
         _req("POST", f"{server_url}/models/{h}/options?name=bogus&value=1")
     _req("DELETE", f"{server_url}/models/{h}")
+
+
+def test_whisper_http_example(server_url):
+    """The whisper-over-HTTP example must produce the same tokens as the
+    in-process pipeline (same synthetic seeds)."""
+    import subprocess
+    import sys as _sys
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [_sys.executable, os.path.join(repo, "examples/whisper_http/run.py"),
+         "--server", server_url, "--synthetic", "--max-tokens", "4"],
+        capture_output=True, text=True, timeout=600,
+        env=dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo),
+    )
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.startswith("tokens: ["), r.stdout
+
+    import numpy as np
+
+    from onnxstream_tpu.models.whisper import WhisperPipeline
+
+    audio = np.random.RandomState(0).randn(16000).astype(np.float32) * 0.1
+    expect = WhisperPipeline.from_synthetic().transcribe(audio, max_tokens=4)
+    assert r.stdout.strip() == f"tokens: {expect}"
