@@ -36,7 +36,7 @@ from onnxstream_tpu.ir import Graph, OpNode
 from onnxstream_tpu.ops import Ctx, get_impl
 from onnxstream_tpu.runtime.config import SessionConfig
 from onnxstream_tpu.runtime.planner import Plan, WeightArg
-from onnxstream_tpu.runtime.quantization import RangeData, range_to_scale
+from onnxstream_tpu.runtime.quantization import RangeData, quantize_weight_percentile, range_to_scale
 from onnxstream_tpu.runtime.weights import WeightsProvider
 
 
@@ -161,10 +161,26 @@ class Executor:
             return self.plan.static_weights[name]
         raise KeyError(name)
 
+    def _maybe_force_quant(self, w: WeightArg, arr: np.ndarray) -> np.ndarray:
+        """force_uint8_storage_set: percentile-quantize a float weight at
+        fetch time; the (scale, zp) land on the WeightArg so the device read
+        dequantizes (reference storage demotion, src/onnxstream.cpp:3764-3808,
+        SDXL-on-lowmem config src/sd.cpp:1658-1669)."""
+        if (
+            w.name in self.config.force_uint8_storage_set
+            and w.file_dtype.is_float
+            and arr.dtype != np.uint8
+        ):
+            qarr, scale, zero = quantize_weight_percentile(np.asarray(arr, np.float32))
+            w.quant = (scale, zero)
+            return qarr
+        return arr
+
     def _weight_to_device_input(self, w: WeightArg, arr: np.ndarray):
         """Host-side dtype conversion (once — written back through the
         provider, like the reference's WeightsProvider::update) and async
         device_put."""
+        arr = self._maybe_force_quant(w, arr)
         target = np.dtype(w.upload_dtype)
         if arr.dtype != target and w.quant is None:
             arr = arr.astype(target)
@@ -379,7 +395,7 @@ class Executor:
 
         weights_env: Dict[str, Any] = {}
         for w in self.plan.arg_weights:
-            arr = self.provider.get(w.name, w.file_dtype, w.shape)
+            arr = self._maybe_force_quant(w, self.provider.get(w.name, w.file_dtype, w.shape))
             weights_env[w.name] = jnp.asarray(
                 arr if w.quant is not None else arr.astype(w.upload_dtype)
             )

@@ -89,6 +89,11 @@ def _upload_dtype(spec: TensorSpec, config: SessionConfig):
     """
     if spec.dtype == DType.uint8:
         return np.dtype(np.uint8)
+    if spec.name in config.force_uint8_storage_set and spec.dtype.is_float:
+        # forced uint8 residency (reference force_uint8_storage demotion,
+        # src/onnxstream.cpp:3764-3808): quantized at first fetch, dequantized
+        # on device read
+        return np.dtype(np.uint8)
     if spec.dtype == DType.int64:
         return np.dtype(np.int64)
     if spec.dtype.is_float:
@@ -163,6 +168,8 @@ class _Planner:
         w = self._arg_set.get(spec.name)
         if w is None:
             quant = (spec.scale, spec.zero_point) if spec.dtype == DType.uint8 else None
+            if quant is None and spec.name in self.config.force_uint8_storage_set and spec.dtype.is_float:
+                quant = (0.0, 0)  # placeholder; real scale/zp set at first fetch
             w = WeightArg(
                 name=spec.name,
                 file_dtype=spec.dtype,

@@ -172,3 +172,32 @@ def test_yolo_e2e():
     eager = s.run(eager=True)
     (y2,) = eager.values()
     np.testing.assert_allclose(y, y2, rtol=1e-3, atol=1e-3)
+
+
+def test_force_uint8_storage_set():
+    """Named float weights demoted to uint8 HBM residency (reference
+    force_uint8_storage demotion, src/onnxstream.cpp:3764-3808)."""
+    import numpy as np
+
+    from onnxstream_tpu.runtime.config import SessionConfig
+    from onnxstream_tpu.runtime.session import Session
+    from onnxstream_tpu.runtime.weights import DictWeightsProvider
+
+    rng = np.random.RandomState(0)
+    w = rng.randn(64, 32).astype(np.float32)
+    x = rng.randn(4, 64).astype(np.float32)
+    model = "mm:MatMul*input:x(4,64);w.bin(float32:64,32)*output:y(4,32)\n"
+
+    cfg = SessionConfig(force_uint8_storage_set={"w.bin"})
+    s = Session(config=cfg, weights_provider=DictWeightsProvider({"w.bin": w}))
+    s.read_string(model)
+    s.add_tensor("x", x)
+    y = np.asarray(s.run()["y"], np.float32)
+    ref = x @ w
+    # quantized storage: approximate result, uint8 upload dtype
+    ex = s._executor()
+    warg = next(a for a in ex.plan.arg_weights if a.name == "w.bin")
+    assert np.dtype(warg.upload_dtype) == np.uint8
+    assert warg.quant is not None and warg.quant[0] > 0
+    assert np.abs(y - ref).max() < 2.0
+    assert np.abs(y - ref).max() > 0  # it IS quantized
