@@ -121,3 +121,31 @@ def test_llm_cli_single_shot(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "done!" in out
+
+
+def test_generate_on_device_matches_loop():
+    """One lax.scan decode program must emit the same greedy tokens as the
+    run-per-token loop."""
+    from onnxstream_tpu.models.llm.llama import LLAMA_TINY
+    from onnxstream_tpu.models.llm.pipeline import LlamaPipeline
+
+    prompt = [3, 17, 99, 5]
+    a = LlamaPipeline(LLAMA_TINY, buckets=[8, 16, 32])
+    seq = a.generate(prompt, max_new_tokens=8)
+    b = LlamaPipeline(LLAMA_TINY, buckets=[8, 16, 32])
+    dev = b.generate_on_device(prompt, max_new_tokens=8)
+    assert seq == dev
+    assert b.cache_len >= a.cache_len - 1  # scan always advances n steps
+
+
+def test_generate_on_device_stop_token():
+    from onnxstream_tpu.models.llm.llama import LLAMA_TINY
+    from onnxstream_tpu.models.llm.pipeline import LlamaPipeline
+
+    p = LlamaPipeline(LLAMA_TINY, buckets=[8, 16, 32])
+    full = p.generate_on_device([3, 17], max_new_tokens=8)
+    assert full  # something came out
+    p2 = LlamaPipeline(LLAMA_TINY, buckets=[8, 16, 32])
+    stopped = p2.generate_on_device([3, 17], max_new_tokens=8, stop_ids=[full[1]] if len(full) > 1 else [])
+    if len(full) > 1:
+        assert stopped == full[:1]
