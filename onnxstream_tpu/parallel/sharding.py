@@ -25,9 +25,29 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None, tp: Optional[int] = None) -> Mesh:
+def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None, tp: Optional[int] = None,
+              sp: int = 1) -> Mesh:
+    """dp x tp mesh, optionally with a sequence-parallel axis (dp, tp, sp).
+    sp shards the sequence/spatial dim of activations; weights replicate over
+    it, so XLA all-gathers K/V over ICI where attention needs the full
+    sequence (the scaling-book sequence-parallel recipe)."""
     devs = jax.devices()
     n = n_devices or len(devs)
+    if sp > 1:
+        rest = n // sp
+        assert sp * rest == n, (sp, n)
+        if tp is None and dp is not None:
+            tp = rest // dp
+        elif tp is None:
+            tp = 1
+            for cand in (8, 4, 2, 1):
+                if rest % cand == 0:
+                    tp = cand
+                    break
+        dp = dp if dp is not None else rest // tp
+        assert dp * tp * sp == n, (dp, tp, sp, n)
+        arr = np.array(devs[:n]).reshape(dp, tp, sp)
+        return Mesh(arr, ("dp", "tp", "sp"))
     if dp is None and tp is None:
         # favor tensor parallelism within a host (ICI), data parallel on top
         tp = 1
@@ -64,11 +84,16 @@ def shard_weights(mesh: Mesh, shapes: Sequence[Sequence[int]]) -> List[NamedShar
 
 
 def activation_sharding(mesh: Mesh, shape: Sequence[int]) -> NamedSharding:
-    """Batch-dim data parallelism for activations when divisible."""
+    """Batch-dim data parallelism + optional sequence parallelism: dim 0 over
+    "dp" and dim 1 (sequence/spatial) over "sp" when divisible."""
     dp = mesh.shape["dp"]
+    sp = mesh.shape.get("sp", 1)
+    spec: List = [None] * len(shape)
     if len(shape) >= 1 and shape[0] % dp == 0 and shape[0] > 0 and dp > 1:
-        return NamedSharding(mesh, P("dp", *([None] * (len(shape) - 1))))
-    return NamedSharding(mesh, P())
+        spec[0] = "dp"
+    if len(shape) >= 3 and sp > 1 and shape[1] % sp == 0 and shape[1] >= sp * 8:
+        spec[1] = "sp"
+    return NamedSharding(mesh, P(*spec))
 
 
 @dataclasses.dataclass

@@ -146,6 +146,15 @@ class Executor:
         self.ops_times: Dict[str, float] = {}
         provider.on_init(plan.stream_entries())
         self._first_run_done = False
+        # multi-chip: when a mesh is configured, weights get TP shardings and
+        # activations DP/SP shardings; the jitted segments are unchanged — XLA
+        # propagates the shardings and inserts ICI collectives
+        self._weight_shardings: Dict[str, Any] = {}
+        if self.config.mesh is not None:
+            from onnxstream_tpu.parallel.sharding import shard_weights
+
+            shardings = shard_weights(self.config.mesh, [w.shape for w in plan.arg_weights])
+            self._weight_shardings = {w.name: s for w, s in zip(plan.arg_weights, shardings)}
 
     # ------------------------------------------------------------------ utils
     @property
@@ -185,7 +194,8 @@ class Executor:
         if arr.dtype != target and w.quant is None:
             arr = arr.astype(target)
             self.provider.update(w.name, arr)
-        return jax.device_put(arr, self._device)
+        dst = self._weight_shardings.get(w.name, self._device)
+        return jax.device_put(arr, dst)
 
     def _fetch_segment_weights(self, seg: Segment) -> List[jax.Array]:
         out = []
@@ -314,6 +324,10 @@ class Executor:
 
     # ------------------------------------------------------------------ runs
     def _prepare_inputs(self, inputs: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        mesh = self.config.mesh
+        if mesh is not None:
+            from onnxstream_tpu.parallel.sharding import activation_sharding
+
         prepared = {}
         for k, aval in self.plan.input_avals.items():
             if k not in inputs:
@@ -325,7 +339,8 @@ class Executor:
             v = np.asarray(v)
             if v.dtype != aval.dtype:
                 v = v.astype(aval.dtype)
-            prepared[k] = jax.device_put(v, self._device)
+            dst = activation_sharding(mesh, v.shape) if mesh is not None else self._device
+            prepared[k] = jax.device_put(v, dst)
         return prepared
 
     def run(self, inputs: Dict[str, np.ndarray], device_outputs: bool = False) -> Dict[str, np.ndarray]:

@@ -92,3 +92,53 @@ def test_sharded_forward_matches_single_device():
     with mesh:
         out = np.asarray(jax.jit(fn)(weights, acts)["out_sample"], dtype=np.float32)
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_session_mesh_sharded_inference_matches_single():
+    """config.mesh: TP-sharded weights + DP-sharded batch through the normal
+    Session.run path; outputs must match the unsharded run."""
+    import jax
+    import numpy as np
+
+    from onnxstream_tpu.models.sd.unet import TINY, build_unet
+    from onnxstream_tpu.parallel.sharding import make_mesh
+    from onnxstream_tpu.runtime.config import SessionConfig
+    from onnxstream_tpu.runtime.session import Session
+    from onnxstream_tpu.runtime.weights import DictWeightsProvider
+
+    g = build_unet(TINY, batch=2)
+    rng = np.random.RandomState(0)
+    ins = {
+        "sample": rng.rand(2, 4, 16, 16).astype(np.float32),
+        "timestep": np.array([500.0], np.float32),
+        "encoder_hidden_states": rng.rand(2, 7, 32).astype(np.float32),
+    }
+
+    def run(mesh):
+        s = Session(config=SessionConfig(mesh=mesh),
+                    weights_provider=DictWeightsProvider(g.weights))
+        s.read_string(g.to_text())
+        for k, v in ins.items():
+            s.add_tensor(k, v)
+        return np.asarray(s.run()["out_sample"], np.float32)
+
+    base = run(None)
+    sharded = run(make_mesh(8, dp=2, tp=4))
+    np.testing.assert_allclose(sharded, base, rtol=2e-4, atol=1e-5)
+
+
+def test_sequence_parallel_mesh():
+    import numpy as np
+
+    from onnxstream_tpu.parallel.sharding import activation_sharding, make_mesh
+
+    mesh = make_mesh(8, dp=2, tp=2, sp=2)
+    assert dict(mesh.shape) == {"dp": 2, "tp": 2, "sp": 2}
+    from jax.sharding import PartitionSpec as P
+
+    s = activation_sharding(mesh, (2, 64, 32))
+    assert tuple(s.spec)[:2] == ("dp", "sp")
+    # weights replicate over sp
+    from onnxstream_tpu.parallel.sharding import shard_weight_spec
+
+    assert "sp" not in tuple(shard_weight_spec((64, 32), mesh.shape["tp"]))
