@@ -45,6 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--download", action="store_true",
                    help="fetch the model from HF into --models-path if missing (reference sd.cpp:3101-3199)")
     p.add_argument("--decoder-calibrate", action="store_true")
+    p.add_argument("--host-loop", action="store_true",
+                   help="force the per-step host diffusion loop (default: one on-device program for euler samplers)")
     p.add_argument("--device", default="", choices=["", "cpu", "tpu"], help="force jax backend")
     return p
 
@@ -97,17 +99,28 @@ def main(argv=None) -> int:
 
     for n in range(args.num):
         t0 = time.time()
-        res = pipe.generate(
-            args.prompt,
-            args.neg_prompt,
-            steps=args.steps,
-            seed=seed + n,
-            sampler=args.sampler,
-            cfg_scale=args.cfg_scale,
-            decode=not args.save_latents,
-            tiled_decode=args.tiled and not args.not_tiled,
-            preview_steps=args.preview_steps,
-        )
+        # euler-family runs without previews execute the whole diffusion loop
+        # as one device program (latents cross PCIe once)
+        on_device = args.sampler in ("euler", "euler_a") and not args.preview_steps and not args.host_loop
+        if on_device:
+            res = pipe.generate_on_device(
+                args.prompt, args.neg_prompt, steps=args.steps, seed=seed + n,
+                sampler=args.sampler, cfg_scale=args.cfg_scale,
+                decode=not args.save_latents,
+                tiled_decode=args.tiled and not args.not_tiled,
+            )
+        else:
+            res = pipe.generate(
+                args.prompt,
+                args.neg_prompt,
+                steps=args.steps,
+                seed=seed + n,
+                sampler=args.sampler,
+                cfg_scale=args.cfg_scale,
+                decode=not args.save_latents,
+                tiled_decode=args.tiled and not args.not_tiled,
+                preview_steps=args.preview_steps,
+            )
         out = args.output if args.num == 1 else args.output.replace(".", f"_{n}.", 1)
         if args.save_latents:
             StableDiffusionPipeline.save_latents(args.save_latents, res.latents)

@@ -382,6 +382,156 @@ class StableDiffusionPipeline:
         image = self.decode(x, tiled=tiled_decode) if decode and self.vae_decoder is not None else None
         return GenerationResult(image=image, latents=x, previews=previews)
 
+    # ---------------------------------------------------- on-device diffusion
+    _device_gen_fns: Dict = None
+
+    def generate_on_device(
+        self,
+        prompt: str,
+        neg_prompt: str = "",
+        steps: int = 10,
+        seed: int = 42,
+        sampler: str = "euler_a",
+        cfg_scale: float = 7.0,
+        decode: bool = True,
+        tiled_decode: bool = False,
+    ) -> GenerationResult:
+        """The whole diffusion loop as ONE device program: a lax.scan over
+        steps with the latents as carry — CFG, the euler/euler_a update and
+        the (host-precomputed, bit-parity) ancestral noise all on device.
+        Latents cross PCIe once, after the last step. Supports the euler
+        family; other samplers use the host loop (generate())."""
+        if sampler not in ("euler", "euler_a"):
+            raise ValueError(f"generate_on_device supports euler/euler_a, not {sampler!r}")
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        if self.xl:
+            cond = self.encode_prompt_xl(prompt)
+            uncond = None if self.turbo else self.encode_prompt_xl(neg_prompt)
+        else:
+            cond = self.encode_prompt(prompt)
+            uncond = None if self.turbo else self.encode_prompt(neg_prompt)
+
+        sigma = sched.sigma_schedule(steps)
+        x0 = np.asarray(randn_4_w_h(seed % 1000, self.latw, self.lath) * sigma[0], np.float32)
+        state = S.SamplerState(sampler, steps, seed=seed, turbo=self.turbo)
+
+        # per-step scalars and the seeded noise stream, exactly as the host
+        # sampler would consume them (models/sd/samplers.py euler/euler_a)
+        c_ins, c_outs, ts, slopes, ups = [], [], [], [], []
+        noises = []
+        for i in range(steps):
+            s_cur = float(sigma[i])
+            c_in, c_out = sched.get_scalings(s_cur)
+            c_ins.append(c_in)
+            c_outs.append(c_out)
+            ts.append(sched.sigma_to_t(s_cur))
+            if sampler == "euler_a":
+                up, down = S._ancestral_sigmas(s_cur, float(sigma[i + 1]))
+                noises.append(state.noise(self.latw, self.lath))
+                slopes.append((down - s_cur) / s_cur)
+                ups.append(up)
+            else:
+                si1 = S._reshaper(float(sigma[i + 1]), i, steps, self.turbo)
+                noises.append(np.zeros_like(x0))
+                slopes.append((si1 - s_cur) / s_cur)
+                ups.append(0.0)
+
+        names = self._unet_input_names()
+        key = ("gen", steps, self.turbo or uncond is None)
+        if self._device_gen_fns is None:
+            self._device_gen_fns = {}
+        cached = self._device_gen_fns.get(key)
+        if cached is None:
+            # plan/compile the unet for this input bucket, grab the pure fn
+            self.unet.clear_tensors()
+            self.unet.add_tensor(names["sample"], x0[None])
+            self.unet.add_tensor(names["timestep"], np.array([ts[0]], np.float32))
+            self.unet.add_tensor(names["context"],
+                                 (cond["context"] if isinstance(cond, dict) else cond)[None].astype(np.float32))
+            if "time_ids" in names:
+                self.unet.add_tensor(names["time_ids"], SDXL_TIME_IDS)
+            if "text_embeds" in names and isinstance(cond, dict):
+                self.unet.add_tensor(names["text_embeds"], cond["pooled"])
+            ex = self.unet._executor()
+            assert len(ex.segments) == 1, "on-device generate requires a single segment"
+            fn = ex._segment_fn(0)
+            weights = ex._fetch_segment_weights(ex.segments[0])
+            out_name = next(
+                n for n in ex.segments[0].out_names if ex.plan.avals[n].ndim == 4
+            )
+            cdt = self.unet.config.np_compute_dtype
+            has_uncond = not (self.turbo or uncond is None)
+
+            def unet_eps(x_in, t, ctx, pooled):
+                acts = {
+                    names["sample"]: x_in,
+                    names["timestep"]: t.reshape(1),
+                    names["context"]: ctx,
+                }
+                if "time_ids" in names:
+                    acts[names["time_ids"]] = jnp.asarray(SDXL_TIME_IDS)
+                if "text_embeds" in names and pooled is not None:
+                    acts[names["text_embeds"]] = pooled
+                return fn(weights_c, acts)[out_name]
+
+            weights_c = None  # bound below via closure cell
+
+            def make(weights_list):
+                nonlocal weights_c
+                weights_c = weights_list
+
+                def step(x, per_step):
+                    t, c_in, c_out, slope, up, noise, ctx_c, pool_c, ctx_u, pool_u = per_step
+                    x_in = (x * c_in).astype(cdt)[None]
+                    eps_c = unet_eps(x_in, t, ctx_c, pool_c)[0].astype(jnp.float32)
+                    den = eps_c * c_out + x
+                    if has_uncond:
+                        eps_u = unet_eps(x_in, t, ctx_u, pool_u)[0].astype(jnp.float32)
+                        den_u = eps_u * c_out + x
+                        den = den_u + cfg_scale * (den - den_u)
+                    x = x + (x - den) * slope + noise * up
+                    return x, None
+
+                @jax.jit
+                def run(x0, per_step_stack):
+                    x, _ = lax.scan(step, x0, per_step_stack)
+                    return x
+
+                return run
+
+            cached = (make(weights), weights)
+            self._device_gen_fns[key] = cached
+        run_fn, _ = cached
+
+        def ctx_of(c):
+            return np.asarray(c["context"] if isinstance(c, dict) else c, np.float32)[None]
+
+        def pool_of(c):
+            if isinstance(c, dict):
+                return np.asarray(c["pooled"], np.float32)
+            return np.zeros((1, 1), np.float32)  # unused placeholder
+
+        n = steps
+        per_step = (
+            np.asarray(ts, np.float32),
+            np.asarray(c_ins, np.float32),
+            np.asarray(c_outs, np.float32),
+            np.asarray(slopes, np.float32),
+            np.asarray(ups, np.float32),
+            np.stack(noises).astype(np.float32),
+            np.broadcast_to(ctx_of(cond), (n,) + ctx_of(cond).shape).copy(),
+            np.broadcast_to(pool_of(cond), (n,) + pool_of(cond).shape).copy(),
+            np.broadcast_to(ctx_of(uncond if uncond is not None else cond), (n,) + ctx_of(cond).shape).copy(),
+            np.broadcast_to(pool_of(uncond if uncond is not None else cond), (n,) + pool_of(cond).shape).copy(),
+        )
+        x = np.asarray(run_fn(x0, per_step), np.float32)
+
+        image = self.decode(x, tiled=tiled_decode) if decode and self.vae_decoder is not None else None
+        return GenerationResult(image=image, latents=x, previews=[])
+
     # -------------------------------------------------------- batched generate
     def _denoise_batch(self, xb: np.ndarray, sigma: float, conds, unconds, cfg_scale: float) -> np.ndarray:
         """CFG denoise over a real batch (N,4,h,w) — the TPU-native form of

@@ -282,3 +282,28 @@ def test_generate_batch_wrong_batch_raises():
     p = StableDiffusionPipeline.from_synthetic(tiny=True)
     with pytest.raises(ValueError):
         p.generate_batch(["a", "b"], steps=1, decode=False)
+
+
+# ----------------------------------------------------- on-device diffusion
+def test_generate_on_device_matches_host(tiny_pipe):
+    a = tiny_pipe.generate("a photo of a cat", steps=3, seed=7, decode=False)
+    b = tiny_pipe.generate_on_device("a photo of a cat", steps=3, seed=7, decode=False)
+    np.testing.assert_allclose(b.latents, a.latents, rtol=3e-4, atol=3e-4)
+    # euler too (turbo-reshaped sigma path is host math either way)
+    a2 = tiny_pipe.generate("a cat", steps=2, seed=9, sampler="euler", decode=False)
+    b2 = tiny_pipe.generate_on_device("a cat", steps=2, seed=9, sampler="euler", decode=False)
+    np.testing.assert_allclose(b2.latents, a2.latents, rtol=3e-4, atol=3e-4)
+
+
+def test_generate_on_device_unsupported_sampler(tiny_pipe):
+    with pytest.raises(ValueError):
+        tiny_pipe.generate_on_device("a", sampler="heun")
+
+
+def test_generate_on_device_xl_turbo():
+    from onnxstream_tpu.models.sd.pipeline import StableDiffusionPipeline
+
+    q = StableDiffusionPipeline.from_synthetic(tiny=True, xl=True, turbo=True)
+    c = q.generate("a cat", steps=2, seed=3, decode=False)
+    d = q.generate_on_device("a cat", steps=2, seed=3, decode=False)
+    np.testing.assert_allclose(d.latents, c.latents, rtol=3e-4, atol=3e-4)
