@@ -15,6 +15,7 @@ import time
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="llm", description=__doc__)
     p.add_argument("--models-path", "-m", default="", help="folder with model weights (builder layout) + vocab.txt")
+    p.add_argument("--hf-path", default="", help="local HuggingFace llama/mistral checkpoint directory")
     p.add_argument("--model", default="tinyllama", choices=["tinyllama", "mistral"])
     p.add_argument("--synthetic", choices=["tiny"], default="")
     p.add_argument("--prompt", default="", help="single-shot prompt (otherwise REPL)")
@@ -46,6 +47,30 @@ def main(argv=None) -> int:
         tok = SentencePieceBPE(tokens, special=["<s>", "</s>", "[PAD]", "<|im_start|>", "<|im_end|>"])
         pipe = LlamaPipeline(cfg, tokenizer=tok, compute_dtype="float32",
                              buckets=[32, 64, 128], is_tiny_chat=True)
+    elif args.hf_path:
+        # straight from a transformers checkpoint — no ONNX hop
+        import transformers
+
+        from onnxstream_tpu.models.llm.hf import config_from_hf, weights_from_hf_state_dict
+
+        hf = transformers.AutoModelForCausalLM.from_pretrained(args.hf_path)
+        cfg = config_from_hf(hf.config)
+        weights = weights_from_hf_state_dict(hf.state_dict(), cfg)
+        del hf
+        hf_tok = transformers.AutoTokenizer.from_pretrained(args.hf_path)
+
+        class _HFTok:
+            token2idx = hf_tok.get_vocab()
+            idx2token = [hf_tok.convert_ids_to_tokens(i) for i in range(hf_tok.vocab_size)]
+
+            def encode(self, text):
+                return hf_tok.encode(text)
+
+            def decode_token(self, tid):
+                return hf_tok.decode([tid])
+
+        pipe = LlamaPipeline(cfg, weights=weights, tokenizer=_HFTok(),
+                             compute_dtype=args.compute_dtype, is_tiny_chat=is_tiny)
     elif args.models_path:
         import os
 
