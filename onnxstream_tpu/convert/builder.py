@@ -287,6 +287,7 @@ class GraphBuilder:
         name: Optional[str] = None,
         causal_mask: Optional[TensorSpec] = None,
         dim_head: Optional[int] = None,
+        qkv_bias: bool = False,
     ) -> T:
         """Multi-head attention in the converted-model decomposition:
         projections + reshape/transpose + MatMul/Mul(scale)/Softmax/MatMul.
@@ -298,9 +299,9 @@ class GraphBuilder:
         dh = dim_head or d // heads
         inner = heads * dh
 
-        q = self.matmul_w(x, inner, name=nm + "/to_q", bias=False)
-        k = self.matmul_w(ctx, inner, name=nm + "/to_k", bias=False)
-        v = self.matmul_w(ctx, inner, name=nm + "/to_v", bias=False)
+        q = self.matmul_w(x, inner, name=nm + "/to_q", bias=qkv_bias)
+        k = self.matmul_w(ctx, inner, name=nm + "/to_k", bias=qkv_bias)
+        v = self.matmul_w(ctx, inner, name=nm + "/to_v", bias=qkv_bias)
 
         def split_heads(t, ln, tag):
             t = self.reshape(t, (b, ln, heads, dh), name=f"{nm}/{tag}_r1")

@@ -23,6 +23,7 @@ class ClipConfig:
     seq: int = 77
     activation: str = "quick_gelu"  # ViT-L; OpenCLIP bigG uses "gelu"
     pooled: bool = False  # emit pooled/text-projection output (SDXL encoder 2)
+    proj_dim: int = 0  # text projection output dim; 0 -> width
 
 
 CLIP_L = ClipConfig()
@@ -51,7 +52,8 @@ def build_text_encoder(cfg: ClipConfig = CLIP_L, seed: int = 0) -> GraphBuilder:
     for layer in range(cfg.layers):
         nm = f"encoder.layers.{layer}"
         a = g.layer_norm(x, name=f"{nm}/ln1")
-        attn = g.attention(a, heads=cfg.heads, name=f"{nm}/attn", causal_mask=mask)
+        # CLIP projections carry biases (transformers CLIPTextModel q/k/v/out)
+        attn = g.attention(a, heads=cfg.heads, name=f"{nm}/attn", causal_mask=mask, qkv_bias=True)
         x = g.add(x, attn, name=f"{nm}/res1")
         a = g.layer_norm(x, name=f"{nm}/ln2")
         h = g.matmul_w(a, d * 4, name=f"{nm}/fc1")
@@ -72,6 +74,7 @@ def build_text_encoder(cfg: ClipConfig = CLIP_L, seed: int = 0) -> GraphBuilder:
         idx = g.weight("pool.eos_index", np.array([L - 1], np.int64))
         pooled = g.emit("Gather", [final, idx], [(1, 1, d)], {"axis": 1}, name="pool/gather")
         pooled = g.reshape(pooled, (1, d), name="pool/flatten")
-        proj = g.weight("text_projection.weight", g.randn(d, d))
-        g.emit("MatMul", [pooled, proj], [(1, d)], name="pool/proj", out_names=["pooled_output"])
+        pd = cfg.proj_dim or d
+        proj = g.weight("text_projection.weight", g.randn(d, pd))
+        g.emit("MatMul", [pooled, proj], [(1, pd)], name="pool/proj", out_names=["pooled_output"])
     return g

@@ -50,6 +50,8 @@ class WhisperConfig:
     n_text_state: int = 512
     n_text_head: int = 8
     n_text_layer: int = 6
+    n_audio_ffn: int = 0  # 0 -> 4 * n_audio_state
+    n_text_ffn: int = 0  # 0 -> 4 * n_text_state
     # special tokens (metadata.json of the browser example)
     sot: int = 50258
     eot: int = 50257
@@ -119,12 +121,33 @@ def build_encoder(cfg: WhisperConfig = WHISPER_TINY_TEST, seed: int = 0) -> Grap
     x = g.add(x, g.weight("encoder.positional_embedding", _sinusoids(Ta, d)),
               out_shape=(1, Ta, d), name="stem/pos")
 
+    Ha, hda = cfg.n_audio_head, d // cfg.n_audio_head
+
+    def enc_attention(a: T, nm: str) -> T:
+        # whisper projection bias pattern: q/v/out yes, k no (transformers
+        # WhisperAttention)
+        def heads(t: T, tag: str) -> T:
+            t = g.reshape(t, (1, Ta, Ha, hda), name=f"{tag}/r")
+            return g.transpose(t, (0, 2, 1, 3), name=f"{tag}/t")
+
+        q = heads(g.matmul_w(a, d, name=f"{nm}/attn_q"), f"{nm}/qh")
+        k = heads(g.matmul_w(a, d, name=f"{nm}/attn_k", bias=False), f"{nm}/kh")
+        v = heads(g.matmul_w(a, d, name=f"{nm}/attn_v"), f"{nm}/vh")
+        kt = g.transpose(k, (0, 1, 3, 2), name=f"{nm}/kT")
+        logits = g.emit("MatMul", [q, kt], [(1, Ha, Ta, Ta)], name=f"{nm}/qk")
+        logits = g.mul(logits, g.scalar(1.0 / math.sqrt(hda), name=f"{nm}.scale"), name=f"{nm}/scale")
+        probs = g.softmax(logits, -1)
+        o = g.emit("MatMul", [probs, v], [(1, Ha, Ta, hda)], name=f"{nm}/pv")
+        o = g.transpose(o, (0, 2, 1, 3), name=f"{nm}/ot")
+        o = g.reshape(o, (1, Ta, d), name=f"{nm}/or")
+        return g.matmul_w(o, d, name=f"{nm}/attn_out")
+
     for layer in range(cfg.n_audio_layer):
         nm = f"encoder.blocks.{layer}"
         a = g.layer_norm(x, name=f"{nm}/attn_ln")
-        x = g.add(x, g.attention(a, heads=cfg.n_audio_head, name=f"{nm}/attn"), name=f"{nm}/res1")
+        x = g.add(x, enc_attention(a, nm), name=f"{nm}/res1")
         a = g.layer_norm(x, name=f"{nm}/mlp_ln")
-        h = g.matmul_w(a, d * 4, name=f"{nm}/mlp_fc1")
+        h = g.matmul_w(a, cfg.n_audio_ffn or d * 4, name=f"{nm}/mlp_fc1")
         h = g.gelu(h)
         h = g.matmul_w(h, d, name=f"{nm}/mlp_fc2")
         x = g.add(x, h, name=f"{nm}/res2")
@@ -240,7 +263,7 @@ def build_decoder(cfg: WhisperConfig = WHISPER_TINY_TEST, new_len: int = 1, seed
         x = g.add(x, o, name=f"{nm}/res2")
 
         a = g.layer_norm(x, name=f"{nm}/mlp_ln")
-        h = g.matmul_w(a, d * 4, name=f"{nm}/mlp_fc1")
+        h = g.matmul_w(a, cfg.n_text_ffn or d * 4, name=f"{nm}/mlp_fc1")
         h = g.gelu(h)
         h = g.matmul_w(h, d, name=f"{nm}/mlp_fc2")
         x = g.add(x, h, name=f"{nm}/res3")

@@ -66,6 +66,32 @@ class WhisperPipeline:
         return cls(cfg, enc, make_decoder)
 
     @classmethod
+    def from_hf(cls, hf_model, compute_dtype: str = "float32") -> "WhisperPipeline":
+        """Straight from a transformers WhisperForConditionalGeneration
+        (no ONNX hop): weights convert to the builder graphs."""
+        from onnxstream_tpu.models.whisper.hf import config_from_hf, weights_from_hf_state_dict
+
+        cfg = config_from_hf(hf_model.config)
+        enc_w, dec_w = weights_from_hf_state_dict(hf_model.state_dict(), cfg)
+
+        def mk(builder, overrides):
+            weights = dict(builder.weights)
+            weights.update(overrides)
+            s = Session(
+                config=SessionConfig(compute_dtype=compute_dtype, fuse_ops_in_attention=True),
+                weights_provider=DictWeightsProvider(weights),
+            )
+            s.read_string(builder.to_text())
+            return s
+
+        enc = mk(build_encoder(cfg), enc_w)
+
+        def make_decoder(L: int) -> Session:
+            return mk(build_decoder(cfg, new_len=L), dec_w)
+
+        return cls(cfg, enc, make_decoder)
+
+    @classmethod
     def from_dir(cls, path: str, cfg: WhisperConfig, provider: str = "ram+prefetch",
                  compute_dtype: str = "float32") -> "WhisperPipeline":
         """Reference layout: {path}/encoder_fp32/model.txt + decoder_fp32/ +
