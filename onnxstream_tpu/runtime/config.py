@@ -46,6 +46,11 @@ class SessionConfig:
     device: Optional[object] = None  # jax.Device to run on (default: first)
     mesh: Optional[object] = None  # jax.sharding.Mesh for multi-chip execution
     sharding_rules: Optional[object] = None  # parallel.sharding rules when mesh is set
+    # pipeline-parallel segment placement: with hbm_budget_bytes > 0, segments
+    # are pinned round-robin to these devices (weights resident per stage,
+    # boundary activations hop over ICI) — fits models larger than one chip's
+    # HBM without host streaming
+    pp_devices: Optional[list] = None
 
     # quantization calibration data: op_name -> (min, max)
     range_data: Dict[str, tuple] = dataclasses.field(default_factory=dict)

@@ -163,6 +163,13 @@ class Executor:
             return self.config.device
         return jax.devices()[0]
 
+    def _seg_device(self, si: int):
+        """Pipeline-parallel placement: segment si's stage device."""
+        pp = self.config.pp_devices
+        if pp:
+            return pp[si % len(pp)]
+        return self._device
+
     def _resolve_static(self, name: str):
         if name in self.plan.static_env:
             return self.plan.static_env[name]
@@ -197,7 +204,8 @@ class Executor:
         dst = self._weight_shardings.get(w.name, self._device)
         return jax.device_put(arr, dst)
 
-    def _fetch_segment_weights(self, seg: Segment) -> List[jax.Array]:
+    def _fetch_segment_weights(self, seg: Segment, si: int = 0) -> List[jax.Array]:
+        device = self._seg_device(si)
         out = []
         for w in seg.weight_args:
             cached = self._device_weight_cache.get(w.name)
@@ -205,9 +213,17 @@ class Executor:
                 out.append(cached)
                 continue
             arr = self.provider.get(w.name, w.file_dtype, w.shape)
-            dev = self._weight_to_device_input(w, arr)
-            if self.config.hbm_budget_bytes == 0:
-                # no streaming budget: weights stay resident in HBM across runs
+            if self.config.pp_devices:
+                arr = self._maybe_force_quant(w, arr)
+                target = np.dtype(w.upload_dtype)
+                if arr.dtype != target and w.quant is None:
+                    arr = arr.astype(target)
+                dev = jax.device_put(arr, device)
+            else:
+                dev = self._weight_to_device_input(w, arr)
+            if self.config.hbm_budget_bytes == 0 or self.config.pp_devices:
+                # resident weights: no streaming budget, or pp stages own
+                # their segment's weights permanently
                 self._device_weight_cache[w.name] = dev
             out.append(dev)
         return out
@@ -355,16 +371,20 @@ class Executor:
 
         # double-buffer: fetch segment 0 weights, then while segment k runs,
         # fetch k+1 (device_put is async; the provider thread reads ahead).
-        next_weights = self._fetch_segment_weights(self.segments[0]) if self.segments else []
+        next_weights = self._fetch_segment_weights(self.segments[0], 0) if self.segments else []
         for si, seg in enumerate(self.segments):
             weights = next_weights
             seg_in = {n: (acts[n] if n in acts else results[n]) for n in seg.in_names}
             # all graph inputs flow through the first segment's env too
             if si == 0:
                 seg_in = {**acts, **seg_in}
+            if self.config.pp_devices:
+                # hop boundary activations onto this segment's stage device
+                dev = self._seg_device(si)
+                seg_in = {k: jax.device_put(v, dev) for k, v in seg_in.items()}
             fut = self._compiled(si)(weights, seg_in)
             if si + 1 < len(self.segments):
-                next_weights = self._fetch_segment_weights(self.segments[si + 1])
+                next_weights = self._fetch_segment_weights(self.segments[si + 1], si + 1)
             results.update(fut)
 
         self._first_run_done = True

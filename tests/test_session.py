@@ -201,3 +201,46 @@ def test_force_uint8_storage_set():
     assert warg.quant is not None and warg.quant[0] > 0
     assert np.abs(y - ref).max() < 2.0
     assert np.abs(y - ref).max() > 0  # it IS quantized
+
+
+def test_pipeline_parallel_segments_match_single_device():
+    """pp_devices: segments pinned round-robin to devices; outputs must match
+    the single-device run (8 virtual CPU devices)."""
+    import jax
+    import numpy as np
+
+    from onnxstream_tpu.models.sd.unet import TINY, build_unet
+    from onnxstream_tpu.runtime.config import SessionConfig
+    from onnxstream_tpu.runtime.session import Session
+    from onnxstream_tpu.runtime.weights import DictWeightsProvider
+
+    g = build_unet(TINY)
+    rng = np.random.RandomState(0)
+    ins = {
+        "sample": rng.rand(1, 4, 16, 16).astype(np.float32),
+        "timestep": np.array([500.0], np.float32),
+        "encoder_hidden_states": rng.rand(1, 7, 32).astype(np.float32),
+    }
+
+    def run(cfg):
+        s = Session(config=cfg, weights_provider=DictWeightsProvider(g.weights))
+        s.read_string(g.to_text())
+        for k, v in ins.items():
+            s.add_tensor(k, v)
+        out = s.run()
+        return np.asarray(out["out_sample"], np.float32), s._executor()
+
+    base, _ = run(SessionConfig())
+    devs = jax.devices()[:4]
+    cfg = SessionConfig(hbm_budget_bytes=1 << 20, pp_devices=devs)
+    pp, ex = run(cfg)
+    assert len(ex.segments) > 1, "budget should split the graph into stages"
+    # each stage's weights live on its own device
+    seen_devices = set()
+    for si in range(len(ex.segments)):
+        seen_devices.add(ex._seg_device(si))
+    assert len(seen_devices) > 1
+    np.testing.assert_allclose(pp, base, rtol=2e-4, atol=1e-5)
+    # second run reuses resident per-stage weights
+    pp2, _ = run(cfg)
+    np.testing.assert_allclose(pp2, base, rtol=2e-4, atol=1e-5)
