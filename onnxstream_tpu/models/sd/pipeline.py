@@ -440,7 +440,7 @@ class StableDiffusionPipeline:
                 ups.append(0.0)
 
         names = self._unet_input_names()
-        key = ("gen", steps, self.turbo or uncond is None)
+        key = ("gen", steps, self.turbo or uncond is None, float(cfg_scale))
         if self._device_gen_fns is None:
             self._device_gen_fns = {}
         cached = self._device_gen_fns.get(key)
@@ -465,23 +465,22 @@ class StableDiffusionPipeline:
             cdt = self.unet.config.np_compute_dtype
             has_uncond = not (self.turbo or uncond is None)
 
-            def unet_eps(x_in, t, ctx, pooled):
-                acts = {
-                    names["sample"]: x_in,
-                    names["timestep"]: t.reshape(1),
-                    names["context"]: ctx,
-                }
-                if "time_ids" in names:
-                    acts[names["time_ids"]] = jnp.asarray(SDXL_TIME_IDS)
-                if "text_embeds" in names and pooled is not None:
-                    acts[names["text_embeds"]] = pooled
-                return fn(weights_c, acts)[out_name]
+            @jax.jit
+            def run(weights_a, x0, per_step_stack):
+                # weights flow through the jit boundary as arguments — a
+                # closure would bake them into the executable as constants
 
-            weights_c = None  # bound below via closure cell
-
-            def make(weights_list):
-                nonlocal weights_c
-                weights_c = weights_list
+                def unet_eps(x_in, t, ctx, pooled):
+                    acts = {
+                        names["sample"]: x_in,
+                        names["timestep"]: t.reshape(1),
+                        names["context"]: ctx,
+                    }
+                    if "time_ids" in names:
+                        acts[names["time_ids"]] = jnp.asarray(SDXL_TIME_IDS)
+                    if "text_embeds" in names and pooled is not None:
+                        acts[names["text_embeds"]] = pooled
+                    return fn(weights_a, acts)[out_name]
 
                 def step(x, per_step):
                     t, c_in, c_out, slope, up, noise, ctx_c, pool_c, ctx_u, pool_u = per_step
@@ -495,16 +494,12 @@ class StableDiffusionPipeline:
                     x = x + (x - den) * slope + noise * up
                     return x, None
 
-                @jax.jit
-                def run(x0, per_step_stack):
-                    x, _ = lax.scan(step, x0, per_step_stack)
-                    return x
+                x, _ = lax.scan(step, x0, per_step_stack)
+                return x
 
-                return run
-
-            cached = (make(weights), weights)
+            cached = (run, weights)
             self._device_gen_fns[key] = cached
-        run_fn, _ = cached
+        run_fn, weights_in = cached
 
         def ctx_of(c):
             return np.asarray(c["context"] if isinstance(c, dict) else c, np.float32)[None]
@@ -527,7 +522,7 @@ class StableDiffusionPipeline:
             np.broadcast_to(ctx_of(uncond if uncond is not None else cond), (n,) + ctx_of(cond).shape).copy(),
             np.broadcast_to(pool_of(uncond if uncond is not None else cond), (n,) + pool_of(cond).shape).copy(),
         )
-        x = np.asarray(run_fn(x0, per_step), np.float32)
+        x = np.asarray(run_fn(weights_in, x0, per_step), np.float32)
 
         image = self.decode(x, tiled=tiled_decode) if decode and self.vae_decoder is not None else None
         return GenerationResult(image=image, latents=x, previews=[])

@@ -141,7 +141,6 @@ class Executor:
         self.segments = build_segments(plan, plan.fetch_names)
         self._jitted: List[Any] = [None] * len(self.segments)
         self._device_weight_cache: Dict[str, jax.Array] = {}
-        self._converted: set = set()
         self.range_data = RangeData()
         self.ops_times: Dict[str, float] = {}
         provider.on_init(plan.stream_entries())
