@@ -222,8 +222,13 @@ class Executor:
                 dev = self._weight_to_device_input(w, arr)
             if self.config.hbm_budget_bytes == 0 or self.config.pp_devices:
                 # resident weights: no streaming budget, or pp stages own
-                # their segment's weights permanently
+                # their segment's weights permanently. The host copy is
+                # released through the provider (reference exclusion-set +
+                # WeightsProvider::remove once a packed operator owns the
+                # weight, src/onnxstream.cpp:4561-4567, 2693) — a re-plan
+                # re-pulls from the inner provider.
                 self._device_weight_cache[w.name] = dev
+                self.provider.remove(w.name)
             out.append(dev)
         return out
 

