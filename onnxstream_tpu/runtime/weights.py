@@ -329,7 +329,10 @@ class DictWeightsProvider(WeightsProvider):
         self.weights[name] = np.asarray(arr)
 
     def remove(self, name) -> None:
-        self.weights.pop(name, None)
+        # the dict IS the source of truth (no inner provider to re-pull
+        # from after a re-plan) — releasing device-resident weights must
+        # not drop it
+        pass
 
 
 def make_provider(name: str, path_prefix: str, **kw) -> WeightsProvider:
