@@ -51,6 +51,9 @@ class SessionConfig:
     # boundary activations hop over ICI) — fits models larger than one chip's
     # HBM without host streaming
     pp_devices: Optional[list] = None
+    # share HBM-resident weights across Sessions/executors (the LLM prefill
+    # and decode-bucket graphs reuse one upload); keyed by weight name
+    shared_device_weight_cache: Optional[dict] = None
 
     # quantization calibration data: op_name -> (min, max)
     range_data: Dict[str, tuple] = dataclasses.field(default_factory=dict)

@@ -140,7 +140,11 @@ class Executor:
         self.provider = provider
         self.segments = build_segments(plan, plan.fetch_names)
         self._jitted: List[Any] = [None] * len(self.segments)
-        self._device_weight_cache: Dict[str, jax.Array] = {}
+        self._device_weight_cache: Dict[str, jax.Array] = (
+            plan.config.shared_device_weight_cache
+            if plan.config.shared_device_weight_cache is not None
+            else {}
+        )
         self.range_data = RangeData()
         self.ops_times: Dict[str, float] = {}
         provider.on_init(plan.stream_entries())
@@ -205,9 +209,22 @@ class Executor:
 
     def _fetch_segment_weights(self, seg: Segment, si: int = 0) -> List[jax.Array]:
         device = self._seg_device(si)
+        # the cross-session shared cache only holds BIG weights: builder-aux
+        # constants (masks, index tables) reuse names across shape buckets
+        # with different contents, model weights are identical everywhere
+        shared = self.config.shared_device_weight_cache is not None
+
+        def cacheable(w: WeightArg) -> bool:
+            if not shared:
+                return True
+            n = 1
+            for d in w.shape:
+                n *= d
+            return n * np.dtype(w.upload_dtype).itemsize >= (1 << 20)
+
         out = []
         for w in seg.weight_args:
-            cached = self._device_weight_cache.get(w.name)
+            cached = self._device_weight_cache.get(w.name) if cacheable(w) else None
             if cached is not None:
                 out.append(cached)
                 continue
@@ -220,7 +237,7 @@ class Executor:
                 dev = jax.device_put(arr, device)
             else:
                 dev = self._weight_to_device_input(w, arr)
-            if self.config.hbm_budget_bytes == 0 or self.config.pp_devices:
+            if (self.config.hbm_budget_bytes == 0 or self.config.pp_devices) and cacheable(w):
                 # resident weights: no streaming budget, or pp stages own
                 # their segment's weights permanently. The host copy is
                 # released through the provider (reference exclusion-set +
