@@ -58,7 +58,7 @@ def main() -> None:
 
     ex = s._executor()
     seg = ex.segments[0]
-    weights = [ex._device_weight_cache[w.name] for w in seg.weight_args]
+    weights = ex._fetch_segment_weights(seg)  # device-resident after first run
     acts = {k: jax.device_put(np.asarray(v, np.float32)) for k, v in inputs.items()}
     cf = ex._compiled(0)
     out_name = "out_sample" if "out_sample" in seg.out_names else seg.out_names[0]

@@ -54,6 +54,7 @@ class SessionConfig:
     # share HBM-resident weights across Sessions/executors (the LLM prefill
     # and decode-bucket graphs reuse one upload); keyed by weight name
     shared_device_weight_cache: Optional[dict] = None
+    shared_cache_min_bytes: int = 1 << 20  # only weights this big are shared
 
     # quantization calibration data: op_name -> (min, max)
     range_data: Dict[str, tuple] = dataclasses.field(default_factory=dict)

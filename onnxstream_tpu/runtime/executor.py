@@ -44,6 +44,13 @@ def _is_float_dtype(dt) -> bool:
     return np.issubdtype(dt, np.floating) or str(dt) in ("bfloat16", "float16")
 
 
+def upload_bytes(w: "WeightArg") -> int:
+    n = 1
+    for d in w.shape:
+        n *= d
+    return n * np.dtype(w.upload_dtype).itemsize
+
+
 @dataclasses.dataclass
 class Segment:
     op_indices: List[int]
@@ -62,12 +69,6 @@ def build_segments(plan: Plan, fetch_names: Sequence[str]) -> List[Segment]:
 
     def op_weight_names(i):
         return [t.name for t in graph.ops[i].inputs if t.is_weight and t.name in arg_by_name]
-
-    def upload_bytes(w: WeightArg) -> int:
-        n = 1
-        for d in w.shape:
-            n *= d
-        return n * np.dtype(w.upload_dtype).itemsize
 
     # a weight used by several ops is fetched once per segment that needs it
     # (the common case — first use — matches the provider's stream order;
@@ -140,11 +141,12 @@ class Executor:
         self.provider = provider
         self.segments = build_segments(plan, plan.fetch_names)
         self._jitted: List[Any] = [None] * len(self.segments)
-        self._device_weight_cache: Dict[str, jax.Array] = (
+        self._device_weight_cache: Dict = (
             plan.config.shared_device_weight_cache
             if plan.config.shared_device_weight_cache is not None
             else {}
         )
+        self._private_weight_cache: Dict = {}
         self.range_data = RangeData()
         self.ops_times: Dict[str, float] = {}
         provider.on_init(plan.stream_entries())
@@ -209,24 +211,33 @@ class Executor:
 
     def _fetch_segment_weights(self, seg: Segment, si: int = 0) -> List[jax.Array]:
         device = self._seg_device(si)
-        # the cross-session shared cache only holds BIG weights: builder-aux
-        # constants (masks, index tables) reuse names across shape buckets
-        # with different contents, model weights are identical everywhere
+        # The cross-session shared cache only holds BIG weights, keyed by
+        # (name, shape, dtype): builder-aux constants (masks, index tables)
+        # can reuse a name across shape buckets with different contents —
+        # the shape in the key prevents serving one bucket's constant to
+        # another; model weights are identical everywhere. Small weights
+        # stay in this executor's private cache.
         shared = self.config.shared_device_weight_cache is not None
+        min_bytes = self.config.shared_cache_min_bytes
 
-        def cacheable(w: WeightArg) -> bool:
-            if not shared:
-                return True
-            n = 1
-            for d in w.shape:
-                n *= d
-            return n * np.dtype(w.upload_dtype).itemsize >= (1 << 20)
+        def shared_key(w: WeightArg):
+            if shared and upload_bytes(w) >= min_bytes:
+                return (w.name, w.shape, str(np.dtype(w.upload_dtype)))
+            return None
 
+        resident = self.config.hbm_budget_bytes == 0 or self.config.pp_devices
         out = []
         for w in seg.weight_args:
-            cached = self._device_weight_cache.get(w.name) if cacheable(w) else None
-            if cached is not None:
-                out.append(cached)
+            key = shared_key(w)
+            hit = (self._device_weight_cache.get(key) if key is not None
+                   else self._private_weight_cache.get(w.name))
+            if hit is not None:
+                dev, quant = hit
+                # a shared hit must carry its quantization params to THIS
+                # executor's WeightArg (force_uint8 placeholder fill-in)
+                if quant is not None:
+                    w.quant = quant
+                out.append(dev)
                 continue
             arr = self.provider.get(w.name, w.file_dtype, w.shape)
             if self.config.pp_devices:
@@ -237,15 +248,19 @@ class Executor:
                 dev = jax.device_put(arr, device)
             else:
                 dev = self._weight_to_device_input(w, arr)
-            if (self.config.hbm_budget_bytes == 0 or self.config.pp_devices) and cacheable(w):
+            if resident:
                 # resident weights: no streaming budget, or pp stages own
-                # their segment's weights permanently. The host copy is
-                # released through the provider (reference exclusion-set +
-                # WeightsProvider::remove once a packed operator owns the
-                # weight, src/onnxstream.cpp:4561-4567, 2693) — a re-plan
-                # re-pulls from the inner provider.
-                self._device_weight_cache[w.name] = dev
-                self.provider.remove(w.name)
+                # their segment's weights permanently
+                if key is not None:
+                    self._device_weight_cache[key] = (dev, w.quant)
+                else:
+                    self._private_weight_cache[w.name] = (dev, w.quant)
+                # release the host copy through the provider (reference
+                # exclusion-set + WeightsProvider::remove once a packed
+                # operator owns the weight, src/onnxstream.cpp:4561-4567,
+                # 2693); weights_exclusion_set opts a name out
+                if w.name not in self.config.weights_exclusion_set:
+                    self.provider.remove(w.name)
             out.append(dev)
         return out
 

@@ -289,7 +289,11 @@ class RamWeightsProvider(WeightsProvider):
         return arr
 
     def remove(self, name) -> None:
-        self._cache.pop(name, None)
+        # in the warm path (weights injected via add_empty_and_return, the
+        # WASM flow) the cache IS the source of truth — the inner provider
+        # has nothing to re-pull from
+        if not self._warm:
+            self._cache.pop(name, None)
 
     def update(self, name, arr) -> None:
         self._cache[name] = np.asarray(arr)

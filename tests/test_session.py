@@ -283,3 +283,83 @@ def test_ram_host_copy_released_after_device_residency():
             s.run()
         except Exception:
             pass  # shape (1,3) may violate declared dims; the pull is the point
+
+
+def test_shared_device_weight_cache():
+    """Shared HBM cache across sessions: identical big weights upload once;
+    same-name different-shape constants don't collide (keyed by shape); a
+    shared hit carries forced-quant params to the new executor."""
+    import numpy as np
+
+    from onnxstream_tpu.runtime.config import SessionConfig
+    from onnxstream_tpu.runtime.session import Session
+    from onnxstream_tpu.runtime.weights import DictWeightsProvider
+
+    rng = np.random.RandomState(0)
+    w = rng.randn(64, 32).astype(np.float32)
+    shared: dict = {}
+
+    def mk(model, weights, **cfg_kw):
+        s = Session(
+            config=SessionConfig(shared_device_weight_cache=shared,
+                                 shared_cache_min_bytes=1024, **cfg_kw),
+            weights_provider=DictWeightsProvider(weights),
+        )
+        s.read_string(model)
+        return s
+
+    # 1) two sessions (different input shapes) share one upload of w
+    m1 = "mm:MatMul*input:x(4,64);w.bin(float32:64,32)*output:y(4,32)\n"
+    m2 = "mm:MatMul*input:x(2,64);w.bin(float32:64,32)*output:y(2,32)\n"
+    s1, s2 = mk(m1, {"w.bin": w}), mk(m2, {"w.bin": w})
+    x4, x2 = rng.randn(4, 64).astype(np.float32), rng.randn(2, 64).astype(np.float32)
+    s1.add_tensor("x", x4)
+    np.testing.assert_allclose(np.asarray(s1.run()["y"]), x4 @ w, rtol=1e-4, atol=1e-5)
+    assert len(shared) == 1
+    s2.add_tensor("x", x2)
+    np.testing.assert_allclose(np.asarray(s2.run()["y"]), x2 @ w, rtol=1e-4, atol=1e-5)
+    assert len(shared) == 1  # hit, not a second entry
+
+    # 2) same NAME, different shape/content (bucketed masks): no collision
+    wa = rng.randn(64, 32).astype(np.float32)
+    wb = rng.randn(32, 16).astype(np.float32)
+    ma = "mm:MatMul*input:x(4,64);m.bin(float32:64,32)*output:y(4,32)\n"
+    mb = "mm:MatMul*input:x(4,32);m.bin(float32:32,16)*output:y(4,16)\n"
+    sa, sb = mk(ma, {"m.bin": wa}), mk(mb, {"m.bin": wb})
+    xa, xb = rng.randn(4, 64).astype(np.float32), rng.randn(4, 32).astype(np.float32)
+    sa.add_tensor("x", xa)
+    np.testing.assert_allclose(np.asarray(sa.run()["y"]), xa @ wa, rtol=1e-4, atol=1e-5)
+    sb.add_tensor("x", xb)
+    np.testing.assert_allclose(np.asarray(sb.run()["y"]), xb @ wb, rtol=1e-4, atol=1e-5)
+
+    # 3) forced-quant weight: second session's hit inherits (scale, zp)
+    shared_q: dict = {}
+    wq = rng.randn(64, 32).astype(np.float32)
+    mq = "mm:MatMul*input:x(4,64);q.bin(float32:64,32)*output:y(4,32)\n"
+    kw = dict(force_uint8_storage_set={"q.bin"})
+    q1 = mk(mq, {"q.bin": wq}, **kw)
+    q1.config.shared_device_weight_cache = shared_q
+    q1.add_tensor("x", x4)
+    y1 = np.asarray(q1.run()["y"])
+    mq2 = "mm:MatMul*input:x(2,64);q.bin(float32:64,32)*output:y(2,32)\n"
+    q2 = mk(mq2, {"q.bin": wq}, **kw)
+    q2.config.shared_device_weight_cache = shared_q
+    q2.add_tensor("x", x2)
+    y2 = np.asarray(q2.run()["y"])
+    assert np.abs(y2).max() > 0, "shared hit lost the quant params (all-zero output)"
+    np.testing.assert_allclose(y2, x2 @ wq, atol=2.0)
+
+
+def test_ram_warm_cache_survives_remove():
+    """Warm Ram cache (WASM fill-in-place flow) is the source of truth —
+    releasing device-resident weights must not drop it."""
+    import numpy as np
+
+    from onnxstream_tpu.dtypes import DType
+    from onnxstream_tpu.runtime.weights import DiskNoCacheWeightsProvider, RamWeightsProvider
+
+    p = RamWeightsProvider(DiskNoCacheWeightsProvider("/nonexistent/"))
+    buf = p.add_empty_and_return("w.bin", DType.float32, (4,))
+    buf[:] = [1, 2, 3, 4]
+    p.remove("w.bin")  # no-op while warm
+    np.testing.assert_array_equal(p.get("w.bin", DType.float32, (4,)), [1, 2, 3, 4])
