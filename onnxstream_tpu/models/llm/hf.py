@@ -18,10 +18,7 @@ import numpy as np
 from onnxstream_tpu.models.llm.llama import LlamaConfig
 
 
-def _np(t) -> np.ndarray:
-    if hasattr(t, "detach"):
-        t = t.detach().to("cpu").float().numpy()
-    return np.ascontiguousarray(np.asarray(t, np.float32))
+from onnxstream_tpu.models._hf import to_f32 as _np
 
 
 def weights_from_hf_state_dict(state_dict: Dict, cfg: LlamaConfig) -> Dict[str, np.ndarray]:

@@ -99,7 +99,6 @@ def build_llama(cfg: LlamaConfig, new_len: int = 1, past: int = 0, seed: int = 0
     #   past>0 (bucketed): the KV buffer has P rows; row l of the query may
     #   see col <= cache_len + l (valid past plus the new rows written below).
     if P:
-        Tmask = P
         col = g.weight(f"mask.col{P}", np.arange(P, dtype=np.int64).reshape(1, 1, 1, P))
         row1 = g.weight(f"mask.row{L}", (np.arange(L, dtype=np.int64) + 1).reshape(1, 1, L, 1))
         cl = g.emit("Unsqueeze", [cache_len, g.weight("mask.unsq", np.array([0, 1, 2], np.int64))],
@@ -192,8 +191,7 @@ def build_llama(cfg: LlamaConfig, new_len: int = 1, past: int = 0, seed: int = 0
         kt = g.transpose(ke, (0, 1, 3, 2), name=f"{nm}/kT")
         logits = g.emit("MatMul", [q, kt], [(1, H, L, Ttot)], name=f"{nm}/qk")
         logits = g.mul(logits, g.scalar(1.0 / math.sqrt(hd), name=f"{nm}.scale"), name=f"{nm}/scale")
-        logits = g.emit("Add", [logits, mask] if isinstance(mask, T) else [logits, mask],
-                        [(1, H, L, Ttot)], name=f"{nm}/mask")
+        logits = g.emit("Add", [logits, mask], [(1, H, L, Ttot)], name=f"{nm}/mask")
         probs = g.softmax(logits, -1)
         o = g.emit("MatMul", [probs, ve], [(1, H, L, hd)], name=f"{nm}/pv")
         o = g.transpose(o, (0, 2, 1, 3), name=f"{nm}/ot")

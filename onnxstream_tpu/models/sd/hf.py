@@ -15,10 +15,7 @@ import numpy as np
 from onnxstream_tpu.models.sd.clip import ClipConfig
 
 
-def _np(t) -> np.ndarray:
-    if hasattr(t, "detach"):
-        t = t.detach().to("cpu").float().numpy()
-    return np.ascontiguousarray(np.asarray(t, np.float32))
+from onnxstream_tpu.models._hf import to_f32 as _np
 
 
 def clip_config_from_hf(hf_config, pooled: bool = False) -> ClipConfig:

@@ -136,7 +136,9 @@ def build_unet(cfg: UNetConfig = SD15, batch: int = 1, seed: int = 0) -> GraphBu
         h = g.conv(h, cout, 3, name=f"{name}/conv1")
         e = g.silu(temb)
         e = g.matmul_w(e, cout, name=f"{name}/time_emb")
-        e = g.reshape(e, (1, cout, 1, 1), name=f"{name}/time_r")
+        # temb is (1, temb_dim) for SD1.5 but (batch, temb_dim) when the SDXL
+        # add-embeds branch broadcast it; follow its leading dim
+        e = g.reshape(e, (e.shape[0], cout, 1, 1), name=f"{name}/time_r")
         h = g.add(h, e, out_shape=h.shape, name=f"{name}/time_add")
         h = g.group_norm(h, cfg.norm_groups, name=f"{name}/norm2")
         h = g.silu(h)

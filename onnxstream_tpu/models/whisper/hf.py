@@ -17,10 +17,7 @@ import numpy as np
 from onnxstream_tpu.models.whisper.model import WhisperConfig
 
 
-def _np(t) -> np.ndarray:
-    if hasattr(t, "detach"):
-        t = t.detach().to("cpu").float().numpy()
-    return np.ascontiguousarray(np.asarray(t, np.float32))
+from onnxstream_tpu.models._hf import to_f32 as _np
 
 
 def config_from_hf(hf_config) -> WhisperConfig:
@@ -122,3 +119,25 @@ def weights_from_hf_state_dict(state_dict: Dict, cfg: WhisperConfig) -> Tuple[Di
     pd("decoder.ln.weight", g("decoder.layer_norm.weight"))
     pd("decoder.ln.bias", g("decoder.layer_norm.bias"))
     return enc, dec
+
+
+def specials_from_generation_config(cfg: WhisperConfig, gc) -> WhisperConfig:
+    """Override the multilingual-default special tokens with the checkpoint's
+    actual ids (English-only models shift them by one). Mutates cfg."""
+    if gc is None:
+        return cfg
+    if getattr(gc, "no_timestamps_token_id", None) is not None:
+        cfg.no_timestamps = gc.no_timestamps_token_id
+    task_to_id = getattr(gc, "task_to_id", None) or {}
+    if "transcribe" in task_to_id:
+        cfg.transcribe = task_to_id["transcribe"]
+    if "translate" in task_to_id:
+        cfg.translate = task_to_id["translate"]
+    if getattr(gc, "decoder_start_token_id", None) is not None:
+        cfg.sot = gc.decoder_start_token_id
+    if getattr(gc, "eos_token_id", None) is not None:
+        cfg.eot = gc.eos_token_id
+    # no_speech: transformers exposes it as suppress config on some models
+    if getattr(gc, "no_speech_token_id", None) is not None:
+        cfg.no_speech = gc.no_speech_token_id
+    return cfg

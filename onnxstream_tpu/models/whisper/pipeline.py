@@ -69,9 +69,16 @@ class WhisperPipeline:
     def from_hf(cls, hf_model, compute_dtype: str = "float32") -> "WhisperPipeline":
         """Straight from a transformers WhisperForConditionalGeneration
         (no ONNX hop): weights convert to the builder graphs."""
-        from onnxstream_tpu.models.whisper.hf import config_from_hf, weights_from_hf_state_dict
+        from onnxstream_tpu.models.whisper.hf import (
+            config_from_hf,
+            specials_from_generation_config,
+            weights_from_hf_state_dict,
+        )
 
         cfg = config_from_hf(hf_model.config)
+        # English-only (.en) checkpoints shift the special-token ids by one;
+        # the generation config carries the real values
+        specials_from_generation_config(cfg, getattr(hf_model, "generation_config", None))
         enc_w, dec_w = weights_from_hf_state_dict(hf_model.state_dict(), cfg)
 
         def mk(builder, overrides):

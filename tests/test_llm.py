@@ -149,3 +149,47 @@ def test_generate_on_device_stop_token():
     stopped = p2.generate_on_device([3, 17], max_new_tokens=8, stop_ids=[full[1]] if len(full) > 1 else [])
     if len(full) > 1:
         assert stopped == full[:1]
+
+
+def test_generate_on_device_multiturn_matches_host():
+    """Multi-turn chat: after a first on-device turn, the KV cache must be
+    EXACTLY consistent with the returned tokens so turn 2 matches the host
+    loop (review finding: the last token's KV was unwritten and stop
+    truncation left hallucinated rows)."""
+    from onnxstream_tpu.models.llm.llama import LLAMA_TINY
+    from onnxstream_tpu.models.llm.pipeline import LlamaPipeline
+
+    host = LlamaPipeline(LLAMA_TINY, buckets=[8, 16, 32, 64])
+    h1 = host.generate([3, 17], max_new_tokens=4)
+    h2 = host.generate([5, 9], max_new_tokens=4)
+
+    dev = LlamaPipeline(LLAMA_TINY, buckets=[8, 16, 32, 64])
+    d1 = dev.generate_on_device([3, 17], max_new_tokens=4)
+    d2 = dev.generate_on_device([5, 9], max_new_tokens=4)
+    assert d1 == h1
+    assert d2 == h2
+    assert dev.cache_len == host.cache_len
+
+
+def test_generate_on_device_stop_truncation_consistent():
+    """A stop token mid-chunk rewinds cache_len to the kept tokens; the next
+    turn must still match the host path."""
+    from onnxstream_tpu.models.llm.llama import LLAMA_TINY
+    from onnxstream_tpu.models.llm.pipeline import LlamaPipeline
+
+    probe = LlamaPipeline(LLAMA_TINY, buckets=[8, 16, 32, 64])
+    seq = probe.generate([3, 17], max_new_tokens=6)
+    if len(seq) < 3:
+        return  # degenerate tiny-model output; nothing to truncate
+    stopper = seq[2]
+
+    host = LlamaPipeline(LLAMA_TINY, buckets=[8, 16, 32, 64])
+    h1 = host.generate([3, 17], max_new_tokens=6, stop_ids=[stopper])
+    h2 = host.generate([5, 9], max_new_tokens=4)
+
+    dev = LlamaPipeline(LLAMA_TINY, buckets=[8, 16, 32, 64])
+    d1 = dev.generate_on_device([3, 17], max_new_tokens=6, stop_ids=[stopper])
+    d2 = dev.generate_on_device([5, 9], max_new_tokens=4)
+    assert d1 == h1 == seq[:2]
+    assert dev.cache_len == host.cache_len
+    assert d2 == h2

@@ -307,3 +307,17 @@ def test_generate_on_device_xl_turbo():
     c = q.generate("a cat", steps=2, seed=3, decode=False)
     d = q.generate_on_device("a cat", steps=2, seed=3, decode=False)
     np.testing.assert_allclose(d.latents, c.latents, rtol=3e-4, atol=3e-4)
+
+
+def test_generate_batch_xl():
+    """Batched SDXL UNet builds and matches sequential (review finding: the
+    resblock time projection hardcoded batch 1)."""
+    from onnxstream_tpu.models.sd.pipeline import StableDiffusionPipeline
+
+    bat = StableDiffusionPipeline.from_synthetic(tiny=True, xl=True, batch=2)
+    seq = StableDiffusionPipeline.from_synthetic(tiny=True, xl=True)
+    prompts = ["a photo of a cat", "a dog"]
+    r_bat = bat.generate_batch(prompts, steps=2, seeds=[7, 11], decode=False)
+    r_seq = [seq.generate(p, steps=2, seed=s, decode=False) for p, s in zip(prompts, [7, 11])]
+    for a, b in zip(r_seq, r_bat):
+        np.testing.assert_allclose(b.latents, a.latents, rtol=5e-3, atol=1e-4)
