@@ -43,21 +43,24 @@ class _Ctx:
         self.pending_weights: Dict[str, np.ndarray] = {}
 
 
-_PROVIDERS = {
-    # reference model_new_2's five names (src/exports.cpp:62-85)
+# client-supplied weights (the WASM add_weights_file flow): eager instances
+_DICT_PROVIDERS = {
+    # reference model_new_2 names (src/exports.cpp:62-85)
     "::onnxstream::WeightsProvider": lambda: DictWeightsProvider(),
-    "::onnxstream::DiskNoCacheWeightsProvider": lambda: DiskNoCacheWeightsProvider(""),
-    "::onnxstream::DiskPrefetchWeightsProvider": lambda: DiskPrefetchWeightsProvider(""),
     "::onnxstream::RamWeightsProvider<::onnxstream::WeightsProvider>": lambda: RamWeightsProvider(DictWeightsProvider()),
-    "::onnxstream::RamWeightsProvider<::onnxstream::DiskPrefetchWeightsProvider>": lambda: RamWeightsProvider(
-        DiskPrefetchWeightsProvider("")
-    ),
-    # friendlier aliases
     "dict": lambda: DictWeightsProvider(),
-    "nocache": lambda: DiskNoCacheWeightsProvider(""),
-    "prefetch": lambda: DiskPrefetchWeightsProvider(""),
-    "ram": lambda: RamWeightsProvider(DictWeightsProvider()),
-    "ram+prefetch": lambda: RamWeightsProvider(DiskPrefetchWeightsProvider("")),
+}
+# disk-backed providers resolve LAZILY inside the Session so the .bin path
+# prefix comes from the model.txt directory at read_file time (an eager
+# instance with prefix "" could only find weights relative to the cwd)
+_LAZY_PROVIDERS = {
+    "::onnxstream::DiskNoCacheWeightsProvider": "nocache",
+    "::onnxstream::DiskPrefetchWeightsProvider": "prefetch",
+    "::onnxstream::RamWeightsProvider<::onnxstream::DiskPrefetchWeightsProvider>": "ram+prefetch",
+    "nocache": "nocache",
+    "prefetch": "prefetch",
+    "ram": "ram",
+    "ram+prefetch": "ram+prefetch",
 }
 
 
@@ -68,14 +71,18 @@ def model_new() -> int:
 def model_new_2(threads_count: int, wp_name: str) -> int:
     """threads_count is accepted for ABI parity; XLA owns threading on TPU."""
     global _next_handle
-    factory = _PROVIDERS.get(wp_name or "dict")
-    if factory is None:
+    wp_name = wp_name or "dict"
+    dict_provider = None
+    if wp_name in _DICT_PROVIDERS:
+        provider = _DICT_PROVIDERS[wp_name]()
+        dict_provider = provider if isinstance(provider, DictWeightsProvider) else None
+        if isinstance(provider, RamWeightsProvider) and isinstance(provider.inner, DictWeightsProvider):
+            dict_provider = provider.inner
+        session = Session(config=SessionConfig(), weights_provider=provider)
+    elif wp_name in _LAZY_PROVIDERS:
+        session = Session(config=SessionConfig(), weights_provider_name=_LAZY_PROVIDERS[wp_name])
+    else:
         raise ValueError(f"unknown weights provider {wp_name!r}")
-    provider = factory()
-    dict_provider = provider if isinstance(provider, DictWeightsProvider) else None
-    if isinstance(provider, RamWeightsProvider) and isinstance(provider.inner, DictWeightsProvider):
-        dict_provider = provider.inner
-    session = Session(config=SessionConfig(), weights_provider=provider)
     with _lock:
         h = _next_handle
         _next_handle += 1
@@ -135,9 +142,13 @@ def model_add_tensor(h: int, type_str: str, name: str, dims: List[int], data) ->
 
 
 def model_get_tensor(h: int, name: str):
-    """Returns (dims, flat float32 data) — fp32 only, like the reference."""
-    v = _ctx(h).session.get_tensor(name)
-    v = np.asarray(v, np.float32)
+    """Returns (dims, flat float32 data). Like the reference ABI, only float
+    tensors cross this boundary (src/exports.cpp:205-233 returns null
+    otherwise) — a silent int64->fp32 cast would corrupt ids above 2^24."""
+    v = np.asarray(_ctx(h).session.get_tensor(name))
+    if not (np.issubdtype(v.dtype, np.floating) or str(v.dtype) in ("bfloat16", "float16")):
+        raise TypeError(f"tensor {name!r} is {v.dtype}, not float (fp32-only ABI surface)")
+    v = v.astype(np.float32)
     return list(v.shape), v.reshape(-1)
 
 
@@ -162,8 +173,9 @@ def model_clear_tensors(h: int) -> None:
 
 
 def model_set_option(h: int, name: str, value: int) -> None:
-    _ctx(h).session.config.set_option(name, bool(value))
-    _ctx(h).session._executors.clear()
+    # Session.set_option re-fuses the graph so fusion-gating flags work even
+    # after read_string/read_file (the reference applies options at run time)
+    _ctx(h).session.set_option(name, bool(value))
 
 
 def model_add_extra_output(h: int, name: str) -> None:

@@ -18,6 +18,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fp16", action="store_true", help="convert fp32 weights to fp16")
     p.add_argument("--quantize-uint8", action="store_true", help="percentile uint8 weight quantization")
     p.add_argument("--no-mangle", action="store_true", help="keep original tensor names")
+    p.add_argument("--input-shape", action="append", default=[],
+                   metavar="NAME=1,3,224,224", help="pin a dynamic graph input shape (repeatable)")
     return p
 
 
@@ -25,8 +27,13 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from onnxstream_tpu.convert.onnx2txt import convert
 
+    shapes = {}
+    for spec in args.input_shape:
+        name, _, dims = spec.partition("=")
+        shapes[name] = tuple(int(d) for d in dims.split(","))
     text = convert(args.onnx_file, args.dest_folder, fp16=args.fp16,
-                   quantize=args.quantize_uint8, mangle=not args.no_mangle)
+                   quantize=args.quantize_uint8, mangle=not args.no_mangle,
+                   input_shapes=shapes or None)
     print(f"{len(text.splitlines())} ops -> {args.dest_folder}/model.txt")
     return 0
 

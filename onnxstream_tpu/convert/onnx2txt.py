@@ -35,22 +35,21 @@ import numpy as np
 from onnxstream_tpu.convert.onnxproto import NodeInfo, OnnxGraph, TensorInfo, load_onnx
 
 
-def mangle_name(name: str) -> str:
-    return "".join(c if c.isalnum() else f"_{ord(c):X}_" for c in name)
+from onnxstream_tpu.dtypes import mangle_name  # single mangling rule, shared with the bindings
 
 
 def quantize_uint8(a: np.ndarray, from_left: float = 0.001, from_right: float = 0.001):
     """Notebook quantize(): percentile range -> (uint8 array, scale, zero) or
     None when not quantizable."""
-    flat = a.flatten().tolist()
-    s = sorted(f for f in flat if math.isfinite(f))
-    if len(s) == 1 and len(flat) == 1:
-        scale = abs(flat[0])
+    flat = np.asarray(a, np.float64).ravel()
+    s = np.sort(flat[np.isfinite(flat)])
+    if len(s) == 1 and flat.size == 1:
+        scale = float(abs(flat[0]))
         zero = 0 if flat[0] >= 0 else 2
         return np.array([1], np.uint8), scale, zero
     if len(s) >= 2:
-        left = s[int(len(s) * from_left)]
-        right = s[int(len(s) * from_right * -1 - 1)]
+        left = float(s[int(len(s) * from_left)])
+        right = float(s[int(len(s) * from_right * -1 - 1)])
         if left > 0 and right > 0:
             left = 0
         elif left < 0 and right < 0:
@@ -194,6 +193,7 @@ def convert(
     fp16: bool = False,
     quantize: bool = False,
     mangle: bool = True,
+    input_shapes: Optional[Dict[str, Tuple[int, ...]]] = None,
 ) -> str:
     """Convert ONNX -> dest_folder/model.txt (+ .bin weights). Returns the
     model.txt contents."""
@@ -202,6 +202,18 @@ def convert(
     else:
         data = open(onnx_bytes_or_path, "rb").read()
     graph = load_onnx(data)
+    # symbolic/unknown input dims (decoded as -1/0) cannot become model.txt
+    # shapes; the caller pins them via input_shapes
+    for t in graph.inputs:
+        if t.name in graph.initializers:
+            continue
+        if input_shapes and t.name in input_shapes:
+            t.dims = tuple(input_shapes[t.name])
+        if any(d <= 0 for d in t.dims):
+            raise ValueError(
+                f"graph input {t.name!r} has dynamic/unknown dims {t.dims}; "
+                f"re-export with static shapes or pass input_shapes={{{t.name!r}: (...)}}"
+            )
     os.makedirs(dest_folder, exist_ok=True)
 
     def final_name(n: str) -> str:
@@ -256,7 +268,7 @@ def convert(
                     a = np.ascontiguousarray(a.T)
                     name += "_transposed"
                     node.attrs.pop(trans_attr, None)
-            elif node.op_type == "Conv" and input_index in (0, 1):
+            elif node.op_type == "Conv" and input_index == 1:
                 if a.ndim == 3:  # Conv1D promote
                     a = a[..., np.newaxis]
                 if a.ndim != 4:

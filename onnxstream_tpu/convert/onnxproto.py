@@ -191,6 +191,8 @@ def _decode_value_info(buf: memoryview) -> TensorInfo:
                                     for f5, _, v5 in _fields(v4):
                                         if f5 == 1:
                                             dv = _zigzag_signed(v5)
+                                        elif f5 == 2:  # dim_param: symbolic
+                                            dv = -1
                                     dims.append(dv)
     return TensorInfo(name=name, dims=tuple(dims), elem_type=elem)
 

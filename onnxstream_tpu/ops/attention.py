@@ -52,16 +52,18 @@ def sdpa_reference(q, k, v, mask=None, scale=None, k_transposed=False, causal=Fa
 
     # scores stay in the compute dtype (the fp32 work happens inside a fused
     # cast->softmax->cast island, like the unfused Softmax op) — an fp32
-    # score materialization would double the dominant HBM traffic
+    # score materialization would double the dominant HBM traffic. The scale
+    # folds into q BEFORE the matmul so raw fp16 dot products cannot
+    # overflow 65504.
+    q = q * jnp.asarray(scale, q.dtype)
     logits = jnp.einsum("...md,...nd->...mn", q, k)
-    logits = logits * jnp.asarray(scale, logits.dtype)
     if mask is not None:
         logits = logits + mask.astype(logits.dtype)
     if causal:
         m, n = logits.shape[-2], logits.shape[-1]
         row = jax.lax.broadcasted_iota(jnp.int32, (m, n), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1)
-        neg = jnp.asarray(-1e30, logits.dtype)
+        neg = jnp.asarray(jnp.finfo(logits.dtype).min, logits.dtype)
         logits = jnp.where(col <= row + (n - m), logits, neg)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
     out = jnp.einsum("...mn,...nd->...md", probs, v, preferred_element_type=jnp.float32)

@@ -94,6 +94,15 @@ class Session:
     def clear_tensors(self) -> None:
         self.tensors.clear()
 
+    def set_option(self, name: str, value: bool) -> None:
+        """String-keyed option setter (the bindings' model_set_option surface).
+        Fusion-gating options apply at graph-rewrite time, so the graph is
+        re-fused from the raw parse and compiled executors are dropped."""
+        self.config.set_option(name, value)
+        if self._raw_graph is not None:
+            self.graph = fuse_attention(self._raw_graph, self.config, self._loader)
+        self._executors.clear()
+
     def add_extra_output(self, name: str) -> None:
         if name not in self.config.extra_outputs:
             self.config.extra_outputs.append(name)

@@ -138,3 +138,37 @@ def test_native_prefetcher_missing_file(tmp_path):
     with pytest.raises(IOError):
         p.get("missing.bin", DType.float32, (4,))
     p.close()
+
+
+def test_capi_disk_provider_uses_model_dir(tmp_path):
+    """Disk providers must resolve .bin files relative to the model.txt
+    directory, not the process cwd (review finding: eager '' prefix)."""
+    import numpy as np
+
+    from onnxstream_tpu.api import capi
+
+    w = np.arange(6, dtype=np.float32)
+    w.tofile(str(tmp_path / "w.bin"))
+    (tmp_path / "model.txt").write_text("m:Mul*input:x(2,3);w.bin(float32:2,3)*output:y(2,3)\n")
+    h = capi.model_new_2(0, "::onnxstream::DiskNoCacheWeightsProvider")
+    assert capi.model_read_file(h, str(tmp_path / "model.txt")) is None
+    capi.model_add_tensor(h, "float32", "x", [2, 3], np.ones(6, np.float32))
+    assert capi.model_run_2(h) is None
+    dims, data = capi.model_get_tensor(h, "y")
+    np.testing.assert_allclose(np.asarray(data).reshape(dims), w.reshape(2, 3))
+    capi.model_delete(h)
+
+
+def test_capi_get_tensor_rejects_int(tmp_path):
+    import numpy as np
+    import pytest as _pytest
+
+    from onnxstream_tpu.api import capi
+
+    h = capi.model_new_2(0, "dict")
+    capi.model_read_string(h, "s:Shape*input:x(2,3)*output:y(2)\n")
+    capi.model_add_tensor(h, "float32", "x", [2, 3], np.ones(6, np.float32))
+    capi.model_run(h)
+    with _pytest.raises(TypeError):
+        capi.model_get_tensor(h, "y")  # int64 output: fp32-only surface
+    capi.model_delete(h)

@@ -161,3 +161,15 @@ def test_cli(tmp_path, capsys):
     rc = main([str(src), str(tmp_path / "out")])
     assert rc == 0
     assert "2 ops" in capsys.readouterr().out
+
+
+def test_convert_dynamic_dim_errors_and_override(tmp_path):
+    w = np.random.RandomState(0).rand(3, 5).astype(np.float32)
+    nodes = [encode_node("MatMul", ["x", "w"], ["y"], name="mm_0")]
+    # dim 0 encodes an unknown batch (the writer has no dim_param, 0 == unknown)
+    data = encode_model(nodes, inputs=[("x", (0, 3))], outputs=[("y", (0, 5))],
+                        initializers={"w": w})
+    with pytest.raises(ValueError, match="dynamic/unknown dims"):
+        convert(data, str(tmp_path / "m1"))
+    text = convert(data, str(tmp_path / "m2"), input_shapes={"x": (2, 3)})
+    assert "y(2,5)" in text

@@ -103,3 +103,21 @@ def test_flash_kernel_vs_oracle_tpu(case):
         block_m=64, block_n=128,
     )
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_sdpa_reference_fp16_no_overflow():
+    """fp16 compute: the scale folds into q BEFORE the matmul, so raw dot
+    products cannot exceed the fp16 max (review finding: post-matmul scaling
+    overflowed to inf -> NaN softmax)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from onnxstream_tpu.ops.attention import sdpa_reference
+
+    rng = np.random.RandomState(0)
+    # values large enough that q.k in fp16 would overflow without pre-scaling
+    q = jnp.asarray(rng.rand(1, 2, 8, 128) * 16, jnp.float16)
+    k = jnp.asarray(rng.rand(1, 2, 8, 128) * 16, jnp.float16)
+    v = jnp.asarray(rng.rand(1, 2, 8, 16), jnp.float16)
+    out = np.asarray(sdpa_reference(q, k, v, causal=True), np.float32)
+    assert np.isfinite(out).all()
