@@ -25,19 +25,35 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _check_devices(n: int) -> list:
+    """Return the first n devices or raise a clear, actionable error."""
+    devs = jax.devices()
+    if n > len(devs):
+        raise ValueError(
+            f"make_mesh: requested {n} devices, but the {jax.default_backend()!r} "
+            f"backend exposes only {len(devs)}. For a virtual multi-device CPU "
+            f"mesh set XLA_FLAGS=--xla_force_host_platform_device_count={n} and "
+            f"JAX_PLATFORMS=cpu before JAX initializes its backend."
+        )
+    return devs[:n]
+
+
 def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None, tp: Optional[int] = None,
               sp: int = 1) -> Mesh:
     """dp x tp mesh, optionally with a sequence-parallel axis (dp, tp, sp).
     sp shards the sequence/spatial dim of activations; weights replicate over
     it, so XLA all-gathers K/V over ICI where attention needs the full
     sequence (the scaling-book sequence-parallel recipe)."""
-    devs = jax.devices()
-    n = n_devices or len(devs)
+    n = n_devices or len(jax.devices())
     if sp > 1:
-        rest = n // sp
-        assert sp * rest == n, (sp, n)
+        rest, rem = divmod(n, sp)
+        if rem:
+            raise ValueError(f"make_mesh: sp={sp} does not divide n_devices={n}")
         if tp is None and dp is not None:
-            tp = rest // dp
+            tp, rem = divmod(rest, dp)
+            if rem:
+                raise ValueError(
+                    f"make_mesh: dp={dp} does not divide n_devices/sp={rest}")
         elif tp is None:
             tp = 1
             for cand in (8, 4, 2, 1):
@@ -45,8 +61,11 @@ def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None, tp: Opt
                     tp = cand
                     break
         dp = dp if dp is not None else rest // tp
-        assert dp * tp * sp == n, (dp, tp, sp, n)
-        arr = np.array(devs[:n]).reshape(dp, tp, sp)
+        if dp * tp * sp != n:
+            raise ValueError(
+                f"make_mesh: dp*tp*sp = {dp}*{tp}*{sp} != n_devices = {n}")
+        devs = _check_devices(n)
+        arr = np.array(devs).reshape(dp, tp, sp)
         return Mesh(arr, ("dp", "tp", "sp"))
     if dp is None and tp is None:
         # favor tensor parallelism within a host (ICI), data parallel on top
@@ -57,11 +76,17 @@ def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None, tp: Opt
                 break
         dp = n // tp
     elif dp is None:
-        dp = n // tp
+        dp, rem = divmod(n, tp)
+        if rem:
+            raise ValueError(f"make_mesh: tp={tp} does not divide n_devices={n}")
     elif tp is None:
-        tp = n // dp
-    assert dp * tp == n, (dp, tp, n)
-    arr = np.array(devs[:n]).reshape(dp, tp)
+        tp, rem = divmod(n, dp)
+        if rem:
+            raise ValueError(f"make_mesh: dp={dp} does not divide n_devices={n}")
+    if dp * tp != n:
+        raise ValueError(f"make_mesh: dp*tp = {dp}*{tp} != n_devices = {n}")
+    devs = _check_devices(n)
+    arr = np.array(devs).reshape(dp, tp)
     return Mesh(arr, ("dp", "tp"))
 
 

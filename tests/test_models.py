@@ -142,3 +142,26 @@ def test_sequence_parallel_mesh():
     from onnxstream_tpu.parallel.sharding import shard_weight_spec
 
     assert "sp" not in tuple(shard_weight_spec((64, 32), mesh.shape["tp"]))
+
+
+def test_make_mesh_error_paths():
+    import pytest
+
+    from onnxstream_tpu.parallel.sharding import make_mesh
+
+    # too many devices: clear, actionable message (not a reshape traceback)
+    with pytest.raises(ValueError, match="requested 16 devices.*exposes only 8"):
+        make_mesh(16)
+    with pytest.raises(ValueError, match="xla_force_host_platform_device_count"):
+        make_mesh(16, dp=4)
+    # non-divisible factorizations
+    with pytest.raises(ValueError, match="dp=3 does not divide"):
+        make_mesh(8, dp=3)
+    with pytest.raises(ValueError, match="tp=3 does not divide"):
+        make_mesh(8, tp=3)
+    with pytest.raises(ValueError, match="sp=3 does not divide"):
+        make_mesh(8, sp=3)
+    with pytest.raises(ValueError, match="does not divide"):
+        make_mesh(8, dp=4, sp=4)
+    with pytest.raises(ValueError, match="!= n_devices"):
+        make_mesh(8, dp=2, tp=2, sp=1)
