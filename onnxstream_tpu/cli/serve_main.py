@@ -36,7 +36,7 @@ from urllib.parse import parse_qs, urlparse
 import numpy as np
 
 
-def make_handler():
+def make_handler(allow_origin: str | None = None, allow_read_file: bool = False):
     from onnxstream_tpu.api import capi
 
     class Handler(BaseHTTPRequestHandler):
@@ -45,11 +45,18 @@ def make_handler():
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
+        def _cors(self):
+            # no wildcard by default: a localhost server that can read
+            # arbitrary files must not be drivable by any web page
+            # (CORS/DNS-rebinding); opt in per-origin with --allow-origin
+            if allow_origin:
+                self.send_header("Access-Control-Allow-Origin", allow_origin)
+
         def _send(self, code: int, body: bytes, ctype: str = "application/json"):
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
-            self.send_header("Access-Control-Allow-Origin", "*")
+            self._cors()
             self.end_headers()
             self.wfile.write(body)
 
@@ -79,6 +86,9 @@ def make_handler():
                     capi.model_read_string(h, self._body().decode())
                     return self._json({})
                 if action == "read_file":
+                    if not allow_read_file:
+                        return self._json(
+                            {"error": "read_file disabled (start with --allow-read-file)"}, 403)
                     err = capi.model_read_file(h, self._body().decode())
                     return self._json({"error": err} if err else {})
                 if action == "run":
@@ -138,7 +148,7 @@ def make_handler():
 
         def do_OPTIONS(self):
             self.send_response(204)
-            self.send_header("Access-Control-Allow-Origin", "*")
+            self._cors()
             self.send_header("Access-Control-Allow-Methods", "GET, POST, PUT, DELETE")
             self.send_header("Access-Control-Allow-Headers", "Content-Type")
             self.end_headers()
@@ -146,8 +156,10 @@ def make_handler():
     return Handler
 
 
-def serve(host: str = "127.0.0.1", port: int = 8080) -> ThreadingHTTPServer:
-    server = ThreadingHTTPServer((host, port), make_handler())
+def serve(host: str = "127.0.0.1", port: int = 8080, allow_origin: str | None = None,
+          allow_read_file: bool = False) -> ThreadingHTTPServer:
+    server = ThreadingHTTPServer(
+        (host, port), make_handler(allow_origin=allow_origin, allow_read_file=allow_read_file))
     return server
 
 
@@ -155,8 +167,13 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="serve", description=__doc__)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--allow-origin", default=None,
+                   help="value for Access-Control-Allow-Origin (omitted by default)")
+    p.add_argument("--allow-read-file", action="store_true",
+                   help="enable POST /models/<h>/read_file (reads server-side paths)")
     args = p.parse_args(argv)
-    server = serve(args.host, args.port)
+    server = serve(args.host, args.port, allow_origin=args.allow_origin,
+                   allow_read_file=args.allow_read_file)
     print(f"serving on http://{args.host}:{server.server_address[1]}")
     try:
         server.serve_forever()

@@ -109,8 +109,10 @@ class _ShapeInference:
         if isinstance(v, (list, tuple)):
             return ",".join(str(x) for x in v)
         if isinstance(v, TensorInfo):
+            # keep the source dtype: a bare scalar would be materialized as
+            # float32 by ConstantOfShape (reference std::stof semantics)
             vals = v.data.flatten().tolist()
-            return str(vals[0])
+            return f"{np.dtype(v.data.dtype).name}:{vals[0]}"
         if isinstance(v, float):
             return str(v)
         return str(v)

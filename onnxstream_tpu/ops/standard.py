@@ -428,13 +428,16 @@ def _scatternd(ctx: Ctx, op, ins):
 def _constant_of_shape(ctx: Ctx, op, ins):
     shape = [int(v) for v in ctx.static(ins, 0, "ConstantOfShape.shape").reshape(-1)]
     value = op.attr("value", "0")
-    # The converter serializes the value tensor as a bare scalar string
-    # (onnx2txt.ipynb TENSOR attr handling); the reference always materializes
-    # float32 (onnxstream.cpp:7578). We keep ints integral when unambiguous.
-    try:
-        v = int(value)
-        arr = np.full(shape, v, dtype=np.int64)
-    except ValueError:
+    # Our converter serializes the value tensor with its dtype ("int64:0",
+    # "float32:0.0"); honor that. A bare scalar (reference-converted models,
+    # onnx2txt.ipynb TENSOR attr handling) always materializes float32 like
+    # the reference (onnxstream.cpp:7579 std::stof) — never infer int from
+    # the string's spelling.
+    dtype, sep, scalar = value.partition(":")
+    if sep and dtype in ("float32", "float16", "int64", "int32", "uint8", "bool"):
+        dt = np.dtype(dtype)
+        arr = np.full(shape, dt.type(float(scalar) if dt.kind == "f" else int(scalar)))
+    else:
         arr = np.full(shape, float(value), dtype=np.float32)
     return [arr]
 

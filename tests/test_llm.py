@@ -193,3 +193,26 @@ def test_generate_on_device_stop_truncation_consistent():
     assert d1 == h1 == seq[:2]
     assert dev.cache_len == host.cache_len
     assert d2 == h2
+
+
+def test_generate_on_device_multichunk_matches_host():
+    """Multi-chunk decode must not drop the chunk-carry tokens and must stop
+    even when the stop token lands exactly on a chunk carry."""
+    host = LlamaPipeline(LLAMA_TINY, buckets=[16, 32, 64])
+    h = host.generate([3, 17], max_new_tokens=10)
+
+    dev = LlamaPipeline(LLAMA_TINY, buckets=[16, 32, 64])
+    dev.DECODE_CHUNK = 4  # force several chunks within 10 tokens
+    assert dev.generate_on_device([3, 17], max_new_tokens=10) == h
+
+    # stop at every generated position: parity incl. carry positions (3, 7)
+    for si in range(1, 9):
+        st = h[si]
+        hp = LlamaPipeline(LLAMA_TINY, buckets=[16, 32, 64])
+        hs = hp.generate([3, 17], max_new_tokens=10, stop_ids=[st])
+        dp = LlamaPipeline(LLAMA_TINY, buckets=[16, 32, 64])
+        dp.DECODE_CHUNK = 4
+        assert dp.generate_on_device([3, 17], max_new_tokens=10, stop_ids=[st]) == hs
+        # KV rewind after truncation keeps later turns consistent
+        assert dp.generate_on_device([5, 9], max_new_tokens=4) == hp.generate(
+            [5, 9], max_new_tokens=4)

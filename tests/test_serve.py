@@ -107,3 +107,46 @@ def test_whisper_http_example(server_url):
     audio = np.random.RandomState(0).randn(16000).astype(np.float32) * 0.1
     expect = WhisperPipeline.from_synthetic().transcribe(audio, max_tokens=4)
     assert r.stdout.strip() == f"tokens: {expect}"
+
+
+def test_http_read_file_gated_and_no_wildcard_cors(server_url):
+    body, _ = _req("POST", f"{server_url}/models?wp=dict")
+    h = json.loads(body)["handle"]
+    # read_file (arbitrary server-side path) is disabled unless opted in
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req("POST", f"{server_url}/models/{h}/read_file", b"/etc/hostname")
+    assert ei.value.code == 403
+    # no CORS wildcard: default responses carry no Access-Control-Allow-Origin
+    r = urllib.request.Request(f"{server_url}/models/{h}/tensor_names")
+    with urllib.request.urlopen(r) as resp:
+        assert resp.headers.get("Access-Control-Allow-Origin") is None
+    _req("DELETE", f"{server_url}/models/{h}")
+
+
+def test_http_read_file_and_cors_opt_in(tmp_path):
+    import threading as _threading
+
+    from onnxstream_tpu.cli.serve_main import serve
+
+    srv = serve("127.0.0.1", 0, allow_origin="http://localhost:3000",
+                allow_read_file=True)
+    t = _threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        mp = tmp_path / "model.txt"
+        mp.write_text(MODEL)
+        import numpy as np_
+
+        (tmp_path / "w.bin").write_bytes(np_.arange(6, dtype=np_.float32).tobytes())
+        (tmp_path / "b.bin").write_bytes(np_.array([1, 2, 3], np_.float32).tobytes())
+        body, _ = _req("POST", f"{url}/models?wp=ram")
+        h = json.loads(body)["handle"]
+        body, _ = _req("POST", f"{url}/models/{h}/read_file", str(mp).encode())
+        assert json.loads(body) == {}
+        r = urllib.request.Request(f"{url}/models/{h}/tensor_names")
+        with urllib.request.urlopen(r) as resp:
+            assert resp.headers.get("Access-Control-Allow-Origin") == "http://localhost:3000"
+        _req("DELETE", f"{url}/models/{h}")
+    finally:
+        srv.shutdown()
