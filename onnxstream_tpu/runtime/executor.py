@@ -151,6 +151,33 @@ class Executor:
         self.ops_times: Dict[str, float] = {}
         provider.on_init(plan.stream_entries())
         self._first_run_done = False
+        # tensor name -> producing op name: a W8A8 op quantizes its input
+        # activation with the PRODUCER's calibrated output range — the same
+        # statistic the reference attaches at push time (percentile quant of
+        # that very tensor, src/onnxstream.cpp:3022-3034), made static so the
+        # scales are compile-time constants
+        self._producer_op: Dict[str, str] = {}
+        # intermediate refcounts (reference m_intermediate_refs, 3499-3511)
+        refs: Dict[str, int] = {}
+        for op in self.graph.ops:
+            for t in op.outputs:
+                if t.name:
+                    self._producer_op[t.name] = op.name
+            for t in op.inputs:
+                if t.name and not t.is_weight:
+                    refs[t.name] = refs.get(t.name, 0) + 1
+        # reference QDQ skip rule (src/onnxstream.cpp:3009-3020): a pushed
+        # tensor consumed by the IMMEDIATELY next op with refcount 1 skips
+        # quantization
+        self._qdq_skip: set = set()
+        for i, op in enumerate(self.graph.ops[:-1]):
+            if len(op.outputs) == 1 and op.outputs[0].name:
+                name = op.outputs[0].name
+                nxt = self.graph.ops[i + 1]
+                if refs.get(name, 0) == 1 and any(
+                    t.name == name for t in nxt.inputs if not t.is_weight
+                ):
+                    self._qdq_skip.add(name)
         # multi-chip: when a mesh is configured, weights get TP shardings and
         # activations DP/SP shardings; the jitted segments are unchanged — XLA
         # propagates the shardings and inserts ICI collectives
@@ -265,42 +292,148 @@ class Executor:
         return out
 
     # --------------------------------------------------------------- op eval
-    def _qmatmul_applies(self, op: OpNode) -> bool:
-        """W8A8 path: uint8 weight + calibrated activation range for this op
-        (reference static-W8A8 MatMul, src/onnxstream.cpp:5790-5795)."""
-        return (
+    def _qlinear_mode(self, op: OpNode) -> Optional[str]:
+        """W8A8 path selector: uint8 weight + calibrated range for this op
+        (reference static-W8A8 MatMul src/onnxstream.cpp:5790-5795 and qu8
+        Conv 4631-4689)."""
+        if not (
             self.config.use_uint8_arithmetic
-            and op.op_type == "MatMul"
             and len(op.inputs) >= 2
             and op.inputs[1].is_weight
             and op.inputs[1].dtype == DType.uint8
             and op.name in self.config.range_data
-        )
+        ):
+            return None
+        if op.op_type == "MatMul":
+            return "matmul"
+        if op.op_type == "Conv" and op.attr_int("group", 1) == 1:
+            return "conv"
+        return None
 
-    def _eval_qmatmul(self, op: OpNode, env, weights_env):
-        """Quantize the input activation with its calibrated range, run the
-        W8A8 Pallas matmul (int math on the MXU, zero-point corrections and
-        dequantization fused in-kernel), return the float result."""
+    def _activation_qparams(self, op: OpNode):
+        """(scale, zero) to quantize op's input activation: the producer op's
+        calibrated range when known (the statistic the reference computes at
+        push time), else a range recorded under the tensor's own name (graph
+        inputs, observed during calibration), else this op's own range."""
+        tname = op.inputs[0].name
+        name = self._producer_op.get(tname)
+        if name is None or name not in self.config.range_data:
+            name = tname if tname in self.config.range_data else op.name
+        lo, hi = self.config.range_data[name]
+        return range_to_scale(lo, hi)
+
+    def _eval_qlinear(self, mode: str, op: OpNode, env, weights_env):
+        """Quantize the input activation, run the W8A8 Pallas kernel (int math
+        on the MXU, zero-point corrections and dequantization fused in the
+        epilogue), return the float result. Output requantization to the op's
+        calibrated range is left to the QDQ stage (_maybe_qdq) so the plain
+        u8-arithmetic mode keeps full float interchange precision."""
         from onnxstream_tpu.kernels.qmatmul import qmatmul, quantize_activation
+        from onnxstream_tpu.kernels.qconv import qconv
 
         cdt = self.config.np_compute_dtype
         a = env[op.inputs[0].name]
         w_raw = weights_env[op.inputs[1].name]
         w = next(w for w in self.plan.arg_weights if w.name == op.inputs[1].name)
         w_scale, w_zero = w.quant
-        lo, hi = self.config.range_data[op.name]
-        a_scale, a_zero = range_to_scale(lo, hi)
+        a_scale, a_zero = self._activation_qparams(op)
+        interpret = jax.default_backend() != "tpu"
+        if mode == "matmul":
+            a_q = quantize_activation(a.astype(jnp.float32), a_scale, a_zero)
+            out = qmatmul(
+                a_q, w_raw, a_scale, a_zero, w_scale, w_zero,
+                out_dtype=cdt, interpret=interpret,
+            )
+            return [out.astype(cdt)]
+        # conv: bias (if any) is a float weight, excluded from quantization by
+        # the converter (onnx2txt Conv-bias exclusion); attrs mirror ops.standard._conv
+        bias = None
+        if len(op.inputs) > 2 and op.inputs[2].name:
+            bname = op.inputs[2].name
+            bias = (
+                self.plan.static_weights[bname]
+                if bname in self.plan.static_weights
+                else weights_env[bname]
+            )
+        conv1d = a.ndim == 3
+        if conv1d:
+            a = a[..., None]
+        n_spatial = 2
+        strides = list(op.attr_ints("strides", [1] * n_spatial))
+        dilations = list(op.attr_ints("dilations", [1] * n_spatial))
+        pads = list(op.attr_ints("pads", [0] * (2 * n_spatial)))
+        if conv1d:
+            strides = strides + [1] if len(strides) < 2 else strides
+            dilations = dilations + [1] if len(dilations) < 2 else dilations
+            if len(pads) == 2:
+                pads = [pads[0], 0, pads[1], 0]
         a_q = quantize_activation(a.astype(jnp.float32), a_scale, a_zero)
-        out = qmatmul(
-            a_q, w_raw, a_scale, a_zero, w_scale, w_zero,
-            out_dtype=cdt,
-            interpret=jax.default_backend() != "tpu",
+        out = qconv(
+            a_q, w_raw, a_scale, a_zero, w_scale, w_zero, bias=bias,
+            strides=strides, pads=pads, dilations=dilations,
+            out_dtype=cdt, interpret=interpret,
         )
+        if conv1d:
+            out = out[..., 0]
         return [out.astype(cdt)]
 
+    def _qdq_range(self, op: OpNode, out_name: str, x):
+        """(scale, zero) for QDQ of a pushed tensor. Softmax gets XNNPACK's
+        fixed qu8 softmax output quantization (scale 1/256, zp 0 — reference
+        src/onnxstream.cpp:5862); a calibrated range is static and free; the
+        fallback estimates the reference's 0.1% percentiles in-graph on a
+        bounded subsample (the reference computes them on the full tensor at
+        push time, src/onnxstream.cpp:3022-3034 -> 2223-2386)."""
+        if op.op_type == "Softmax":
+            return 1.0 / 256.0, 0.0
+        if op.name in self.config.range_data:
+            lo, hi = self.config.range_data[op.name]
+            return range_to_scale(lo, hi)
+        xf = x.astype(jnp.float32).reshape(-1)
+        n = xf.size
+        if n > (1 << 20):  # bounded sort: strided subsample
+            stride = n // (1 << 20)
+            xf = xf[:: stride]
+            n = xf.size
+        xs = jnp.sort(xf)
+        k = int(n * 0.001)
+        lo = jnp.minimum(xs[k], 0.0)  # range_to_scale forces 0 into the range
+        hi = jnp.maximum(xs[n - 1 - k], 0.0)
+        scale = (hi - lo) / 255.0
+        scale = jnp.where(scale <= 0, 1.0, scale)
+        zero = jnp.clip(jnp.round(-lo / scale), 0, 255)
+        return scale, zero
+
+    def _maybe_qdq(self, op: OpNode, outs: List[Any]) -> List[Any]:
+        """use_uint8_qdq: quantize-dequantize each pushed float intermediate
+        (reference push_tensor, src/onnxstream.cpp:3022-3034). Single-use
+        tensors consumed by the immediately following op are skipped, as in
+        the reference (3009-3020). Fetched outputs are never degraded
+        (the reference converts outputs back to fp32 at end of run)."""
+        if not self.config.use_uint8_qdq:
+            return outs
+        fetched = set(self.plan.fetch_names)
+        res = []
+        for spec, o in zip(op.outputs, outs):
+            if (
+                spec.name
+                and spec.name not in self._qdq_skip
+                and spec.name not in fetched
+                and _is_float_dtype(o.dtype)
+            ):
+                scale, zero = self._qdq_range(op, spec.name, o)
+                q = jnp.clip(
+                    jnp.round(o.astype(jnp.float32) / scale) + zero, 0, 255
+                ).astype(jnp.uint8)
+                o = ((q.astype(jnp.float32) - zero) * scale).astype(o.dtype)
+            res.append(o)
+        res.extend(outs[len(res):])
+        return res
+
     def _eval_op(self, op: OpNode, env: Dict[str, Any], weights_env: Dict[str, Any]):
-        if self._qmatmul_applies(op):
-            return self._eval_qmatmul(op, env, weights_env)
+        qmode = self._qlinear_mode(op)
+        if qmode is not None:
+            return self._eval_qlinear(qmode, op, env, weights_env)
         impl = get_impl(op.op_type)
         cdt = self.config.np_compute_dtype
         ins: List[Any] = []
@@ -351,7 +484,7 @@ class Executor:
             weights_env = {w.name: v for w, v in zip(seg.weight_args, weights)}
             for oi in seg.op_indices:
                 op = graph.ops[oi]
-                outs = self._eval_op(op, env, weights_env)
+                outs = self._maybe_qdq(op, self._eval_op(op, env, weights_env))
                 for spec, val in zip(op.outputs, outs):
                     if spec.name:
                         env[spec.name] = val
@@ -462,6 +595,10 @@ class Executor:
             v = np.asarray(inputs[k])
             if v.dtype != aval.dtype:
                 v = v.astype(aval.dtype)
+            if self.config.range_data_calibrate and _is_float_dtype(v.dtype):
+                # graph-input ranges recorded under the tensor name: W8A8 ops
+                # whose input has no producer quantize with this range
+                self.range_data.observe(k, v.astype(np.float32))
             env[k] = jnp.asarray(v)
 
         weights_env: Dict[str, Any] = {}
@@ -478,6 +615,13 @@ class Executor:
                 print(f"#{oi}) {op.op_type} ({op.name})")
             t0 = time.perf_counter() if self.config.ops_times_printf else 0.0
             outs = self._eval_op(op, env, weights_env)
+            if self.config.range_data_calibrate:
+                # calibration observes pre-QDQ values (reference push_tensor
+                # records ranges before conversion, src/onnxstream.cpp:2983)
+                for o in outs:
+                    if _is_float_dtype(o.dtype):
+                        self.range_data.observe(op.name, np.asarray(o, dtype=np.float32))
+            outs = self._maybe_qdq(op, outs)
             if self.config.ops_times_printf:
                 jax.block_until_ready(outs)
                 self.ops_times[op.op_type] = self.ops_times.get(op.op_type, 0.0) + (
@@ -485,10 +629,6 @@ class Executor:
                 ) * 1e3
             if observer is not None:
                 observer(op, outs)
-            if self.config.range_data_calibrate:
-                for o in outs:
-                    if _is_float_dtype(o.dtype):
-                        self.range_data.observe(op.name, np.asarray(o, dtype=np.float32))
             for spec, val in zip(op.outputs, outs):
                 if spec.name:
                     env[spec.name] = val
