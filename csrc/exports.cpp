@@ -91,9 +91,15 @@ OSTPU_EXPORT ModelContext* model_new_2(int threads_count, char* wp_name) {
     return (ModelContext*)(intptr_t)h;
 }
 
+static void drop_pending(long h);
+static void drop_tensors(long h);
+
 OSTPU_EXPORT void model_delete(ModelContext* obj) {
     PyGILState_STATE gil = PyGILState_Ensure();
-    Py_XDECREF(call("model_delete", Py_BuildValue("(l)", (long)(intptr_t)obj)));
+    long h = (long)(intptr_t)obj;
+    drop_pending(h);
+    drop_tensors(h);
+    Py_XDECREF(call("model_delete", Py_BuildValue("(l)", h)));
     PyGILState_Release(gil);
 }
 
@@ -123,9 +129,13 @@ OSTPU_EXPORT char* model_get_weights_names(ModelContext* obj) {
 }
 
 // Client allocates-and-fills: we return a malloc'd staging buffer; the bytes
-// are handed to Python on the next model_run (deferred copy like the
-// reference's alloc-in-provider flow).
+// are handed to Python on the next model_run of THAT model (deferred copy
+// like the reference's alloc-in-provider flow, which stages per-provider —
+// src/exports.cpp:150-167). Entries are keyed by model handle so concurrent
+// models never receive each other's weights, and staging buffers are freed
+// once Python has copied them.
 struct PendingWeight {
+    long handle;
     std::string type, name;
     void* buf;
     unsigned size;
@@ -136,32 +146,56 @@ OSTPU_EXPORT void* model_add_weights_file(ModelContext* obj, char* type, char* n
     void* buf = ::malloc(size);
     PyGILState_STATE gil = PyGILState_Ensure();
     if (!g_pending) g_pending = new std::vector<PendingWeight>();
-    g_pending->push_back({type ? type : "float32", name ? name : "", buf, size});
+    g_pending->push_back({(long)(intptr_t)obj, type ? type : "float32", name ? name : "", buf, size});
     PyGILState_Release(gil);
-    (void)obj;
     return buf;
 }
 
 static void flush_pending(long h) {
     if (!g_pending) return;
+    std::vector<PendingWeight> keep;
     for (auto& p : *g_pending) {
+        if (p.handle != h) {
+            keep.push_back(p);
+            continue;
+        }
         PyObject* mem = PyMemoryView_FromMemory((char*)p.buf, p.size, PyBUF_READ);
         Py_XDECREF(call("model_add_weights_file",
                         Py_BuildValue("(lssN)", h, p.type.c_str(), p.name.c_str(), mem)));
-        ::free(p.buf);
+        ::free(p.buf);  // capi copied the bytes (np.frombuffer(...).copy())
     }
-    g_pending->clear();
+    g_pending->swap(keep);
 }
+
+static void drop_pending(long h) {  // model_delete without delivery
+    if (!g_pending) return;
+    std::vector<PendingWeight> keep;
+    for (auto& p : *g_pending) {
+        if (p.handle != h) keep.push_back(p);
+        else ::free(p.buf);
+    }
+    g_pending->swap(keep);
+}
+
+// Same alloc-in-runtime staging for input tensors (reference
+// src/exports.cpp:169-203): the caller fills the returned buffer, the bytes
+// are pushed on the next model_run of this model, then the buffer is freed.
+struct PendingTensor {
+    long handle;
+    std::string type, name;
+    std::vector<size_t> dims;
+    void* buf;
+    size_t bytes;
+};
+static std::vector<PendingTensor>* g_pending_tensors = nullptr;
 
 OSTPU_EXPORT void* model_add_tensor(ModelContext* obj, char* type, char* name,
                                     unsigned int dims_num, unsigned int* dims) {
-    // allocate a buffer the caller fills; pushed on run (exports.cpp:169-203)
     size_t n = 1;
-    PyGILState_STATE gil = PyGILState_Ensure();
-    PyObject* dlist = PyList_New(dims_num);
+    std::vector<size_t> dvec(dims_num);
     for (unsigned i = 0; i < dims_num; i++) {
         n *= dims[i];
-        PyList_SetItem(dlist, i, PyLong_FromUnsignedLong(dims[i]));
+        dvec[i] = dims[i];
     }
     size_t itemsize = 4;
     std::string t = type ? type : "float32";
@@ -169,40 +203,41 @@ OSTPU_EXPORT void* model_add_tensor(ModelContext* obj, char* type, char* name,
     else if (t == "int64") itemsize = 8;
     else if (t == "uint8") itemsize = 1;
     void* buf = ::malloc(n * itemsize);
-    if (!g_pending) g_pending = new std::vector<PendingWeight>();
-    // reuse the pending mechanism with a "tensor:" tag
-    PyObject* mem = PyMemoryView_FromMemory((char*)buf, n * itemsize, PyBUF_READ);
-    // store as deferred tensor push: (handle, type, name, dims, memoryview)
-    PyObject* pending = PyObject_GetAttrString(g_capi, "_pending_tensors");
-    if (!pending) {
-        PyErr_Clear();
-        pending = PyList_New(0);
-        PyObject_SetAttrString(g_capi, "_pending_tensors", pending);
-    }
-    PyObject* entry = Py_BuildValue("(lssNN)", (long)(intptr_t)obj, t.c_str(), name, dlist, mem);
-    PyList_Append(pending, entry);
-    Py_DECREF(entry);
-    Py_DECREF(pending);
+    PyGILState_STATE gil = PyGILState_Ensure();
+    if (!g_pending_tensors) g_pending_tensors = new std::vector<PendingTensor>();
+    g_pending_tensors->push_back(
+        {(long)(intptr_t)obj, t, name ? name : "", std::move(dvec), buf, n * itemsize});
     PyGILState_Release(gil);
     return buf;
 }
 
 static void flush_tensors(long h) {
-    PyObject* pending = PyObject_GetAttrString(g_capi, "_pending_tensors");
-    if (!pending) { PyErr_Clear(); return; }
-    Py_ssize_t n = PyList_Size(pending);
-    for (Py_ssize_t i = 0; i < n; i++) {
-        PyObject* e = PyList_GetItem(pending, i);  // borrowed
-        long eh = PyLong_AsLong(PyTuple_GetItem(e, 0));
-        if (eh != h) continue;
+    if (!g_pending_tensors) return;
+    std::vector<PendingTensor> keep;
+    for (auto& p : *g_pending_tensors) {
+        if (p.handle != h) {
+            keep.push_back(p);
+            continue;
+        }
+        PyObject* dlist = PyList_New((Py_ssize_t)p.dims.size());
+        for (size_t i = 0; i < p.dims.size(); i++)
+            PyList_SetItem(dlist, (Py_ssize_t)i, PyLong_FromSize_t(p.dims[i]));
+        PyObject* mem = PyMemoryView_FromMemory((char*)p.buf, p.bytes, PyBUF_READ);
         Py_XDECREF(call("model_add_tensor",
-                        Py_BuildValue("(lOOOO)", h, PyTuple_GetItem(e, 1), PyTuple_GetItem(e, 2),
-                                      PyTuple_GetItem(e, 3), PyTuple_GetItem(e, 4))));
+                        Py_BuildValue("(lssNN)", h, p.type.c_str(), p.name.c_str(), dlist, mem)));
+        ::free(p.buf);  // capi copied (np.frombuffer(...).copy())
     }
-    PyObject* empty = PyList_New(0);
-    PyObject_SetAttrString(g_capi, "_pending_tensors", empty);
-    Py_DECREF(empty);
-    Py_DECREF(pending);
+    g_pending_tensors->swap(keep);
+}
+
+static void drop_tensors(long h) {  // model_delete without delivery
+    if (!g_pending_tensors) return;
+    std::vector<PendingTensor> keep;
+    for (auto& p : *g_pending_tensors) {
+        if (p.handle != h) keep.push_back(p);
+        else ::free(p.buf);
+    }
+    g_pending_tensors->swap(keep);
 }
 
 OSTPU_EXPORT void* model_get_tensor(ModelContext* obj, char* name) {

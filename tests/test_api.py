@@ -105,6 +105,47 @@ print("CTYPES_OK")
     assert "CTYPES_OK" in r.stdout, r.stdout + r.stderr
 
 
+@pytest.mark.skipif(not os.path.exists(LIB), reason="libonnxstream_tpu.so not built")
+def test_ctypes_two_models_interleaved():
+    """Two concurrent models through the .so: pending weights and tensors are
+    keyed by model handle (reference keeps per-model provider state,
+    src/exports.cpp:150-203). The second-created model runs FIRST — with
+    globally-pooled staging it would receive the first model's weights."""
+    code = f"""
+import sys, numpy as np
+sys.path.insert(0, {REPO!r})
+import jax; jax.config.update("jax_platforms", "cpu")
+from onnxstream_tpu.api.bindings import Model
+MODEL = {MODEL!r}
+m1 = Model({LIB!r}, weights_provider_name="dict")
+m2 = Model({LIB!r}, weights_provider_name="dict")
+w1 = np.arange(6, dtype=np.float32); b1 = np.array([1, 2, 3], np.float32)
+w2 = np.arange(6, dtype=np.float32)[::-1].copy(); b2 = np.array([9, 8, 7], np.float32)
+# interleave weight staging across the two models
+m1.add_weights_file("float32", "w.bin", w1)
+m2.add_weights_file("float32", "w.bin", w2)
+m2.add_weights_file("float32", "b.bin", b2)
+m1.add_weights_file("float32", "b.bin", b1)
+m1.read_string(MODEL)
+m2.read_string(MODEL)
+x1 = np.ones((2, 3), np.float32) * 2
+x2 = np.ones((2, 3), np.float32) * 3
+m1.add_tensor("x", x1)
+m2.add_tensor("x", x2)
+m2.run()   # second model runs first
+m1.run()
+out1, _ = m1.get_tensor("z")
+out2, _ = m2.get_tensor("z")
+assert np.allclose(out1, x1 * w1.reshape(2, 3) + b1), out1
+assert np.allclose(out2, x2 * w2.reshape(2, 3) + b2), out2
+m1.close(); m2.close()
+print("TWO_MODELS_OK")
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    r = subprocess.run(["python", "-c", code], capture_output=True, text=True, env=env, timeout=300)
+    assert "TWO_MODELS_OK" in r.stdout, r.stdout + r.stderr
+
+
 @pytest.mark.skipif(not os.path.exists(NATIVE), reason="libostpu_native.so not built")
 def test_native_prefetcher(tmp_path):
     from onnxstream_tpu.dtypes import DType
