@@ -32,7 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cfg-scale", type=float, default=7.0)
     p.add_argument("--save-latents", default="")
     p.add_argument("--decode-latents", default="")
-    p.add_argument("--preview-steps", action="store_true")
+    p.add_argument("--preview-steps", action="store_true",
+                   help="save a low-res latent-RGB projection per step")
+    p.add_argument("--decode-steps", action="store_true",
+                   help="full VAE decode per step (reference sd.cpp:1745-1768)")
     p.add_argument("--not-tiled", action="store_true", help="full VAE decode")
     p.add_argument("--tiled", action="store_true", help="force tiled VAE decode")
     p.add_argument("--embed-parameters", action="store_true")
@@ -101,7 +104,8 @@ def main(argv=None) -> int:
         t0 = time.time()
         # euler-family runs without previews execute the whole diffusion loop
         # as one device program (latents cross PCIe once)
-        on_device = args.sampler in ("euler", "euler_a") and not args.preview_steps and not args.host_loop
+        on_device = (args.sampler in ("euler", "euler_a") and not args.preview_steps
+                     and not args.decode_steps and not args.host_loop)
         if on_device:
             res = pipe.generate_on_device(
                 args.prompt, args.neg_prompt, steps=args.steps, seed=seed + n,
@@ -120,6 +124,7 @@ def main(argv=None) -> int:
                 decode=not args.save_latents,
                 tiled_decode=args.tiled and not args.not_tiled,
                 preview_steps=args.preview_steps,
+                decode_steps=args.decode_steps,
             )
         out = args.output if args.num == 1 else args.output.replace(".", f"_{n}.", 1)
         if args.save_latents:
@@ -137,7 +142,9 @@ def main(argv=None) -> int:
             from onnxstream_tpu.models.sd.pipeline import upscale8x
 
             for i, pv in enumerate(res.previews):
-                save_image(upscale8x(pv), out.replace(".", f"_step{i}.", 1))
+                save_image(upscale8x(pv), out.replace(".", f"_preview_{i}.", 1))
+        for i, im in enumerate(res.step_images):
+            save_image(im, out.replace(".", f"_{i}.", 1))
 
     if args.decoder_calibrate and pipe.vae_decoder is not None:
         ex = pipe.vae_decoder._executor()

@@ -70,6 +70,8 @@ class GenerationResult:
     image: Optional[np.ndarray]  # (H, W, 3) uint8
     latents: np.ndarray  # (4, h, w) float32
     previews: List[np.ndarray]
+    # full per-step VAE decodes (--decode-steps, reference src/sd.cpp:1745-1768)
+    step_images: List[np.ndarray] = dataclasses.field(default_factory=list)
 
 
 def latent_to_rgb(sample: np.ndarray, proj: np.ndarray = SD_LATENT_RGB_PROJ) -> np.ndarray:
@@ -354,6 +356,7 @@ class StableDiffusionPipeline:
         decode: bool = True,
         tiled_decode: bool = False,
         preview_steps: bool = False,
+        decode_steps: bool = False,
         init_latents: Optional[np.ndarray] = None,
     ) -> GenerationResult:
         if self.xl:
@@ -368,6 +371,7 @@ class StableDiffusionPipeline:
         x = np.asarray(x, np.float32)
         state = S.SamplerState(sampler, steps, seed=seed, turbo=self.turbo)
         previews: List[np.ndarray] = []
+        step_images: List[np.ndarray] = []
 
         def denoise_fn(xx, s):
             return self.denoise(xx, float(s), cond, uncond, cfg_scale)
@@ -378,9 +382,13 @@ class StableDiffusionPipeline:
             x = S.sampler_step(state, x, den, sigma, i, denoise_fn)
             if preview_steps:
                 previews.append(latent_to_rgb(x, SDXL_LATENT_RGB_PROJ if self.xl else SD_LATENT_RGB_PROJ))
+            if decode_steps and i < steps - 1 and self.vae_decoder is not None:
+                # full decode of the in-progress latent; the last step's decode
+                # is the normal output image (reference src/sd.cpp:1745-1746)
+                step_images.append(self.decode(x, tiled=tiled_decode))
 
         image = self.decode(x, tiled=tiled_decode) if decode and self.vae_decoder is not None else None
-        return GenerationResult(image=image, latents=x, previews=previews)
+        return GenerationResult(image=image, latents=x, previews=previews, step_images=step_images)
 
     # ---------------------------------------------------- on-device diffusion
     _device_gen_fns: Dict = None

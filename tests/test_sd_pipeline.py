@@ -120,6 +120,15 @@ def test_generate_e2e(tiny_pipe):
     assert len(res.previews) == 3
 
 
+def test_generate_decode_steps(tiny_pipe):
+    """--decode-steps: full VAE decode per step except the last (the final
+    image covers it), reference src/sd.cpp:1745-1768."""
+    res = tiny_pipe.generate("a cat", steps=3, seed=42, decode_steps=True)
+    assert len(res.step_images) == 2
+    for im in res.step_images:
+        assert im.dtype == np.uint8 and im.shape == res.image.shape
+
+
 def test_generate_reproducible(tiny_pipe):
     a = tiny_pipe.generate("a cat", steps=3, seed=7, decode=False)
     b = tiny_pipe.generate("a cat", steps=3, seed=7, decode=False)

@@ -150,3 +150,81 @@ def test_http_read_file_and_cors_opt_in(tmp_path):
         _req("DELETE", f"{url}/models/{h}")
     finally:
         srv.shutdown()
+
+
+from conftest import YOLO_DIR, has_yolo
+
+
+@pytest.mark.skipif(not has_yolo(), reason="reference yolov8n model not present")
+def test_http_yolo_browser_demo_flow(server_url):
+    """Replays examples/yolo_browser/index.html verbatim over the wire — the
+    in-tab story for PARITY #31: same pre/post text-op injection around the
+    real model.txt, manifest-driven weight upload, pushed Slice/Div/Split
+    arguments, RGBA frame in, and client-side NMS on the two split outputs
+    (reference examples/YOLOv8n_wasm/index.html:413-421, 559-573)."""
+    import os
+
+    from onnxstream_tpu.models.yolo import non_max_suppression
+
+    PRE_OPS = (
+        "pre_0:Slice*input:images_raw();slice_start();slice_end();slice_axis()*output:slice_output()\n"
+        "pre_1:Transpose*input:slice_output()*output:trans_output()*perm:0,3,1,2\n"
+        "pre_2:Div*input:trans_output();div_value()*output:images()\n"
+    )
+    POST_OPS = (
+        "post_0:Transpose*input:output0()*output:trans2_output()*perm:0,2,1\n"
+        "post_1:Split*input:trans2_output();split_arg()*output:output0_0();output0_1()*axis:2"
+    )
+
+    body, _ = _req("POST", f"{server_url}/models?wp=dict")
+    h = json.loads(body)["handle"]
+    _req("POST", f"{server_url}/models/{h}/options?name=support_dynamic_shapes&value=1")
+
+    model_txt = open(os.path.join(YOLO_DIR, "model.txt")).read()
+    _req("POST", f"{server_url}/models/{h}/read_string",
+         (PRE_OPS + model_txt + "\n" + POST_OPS).encode())
+
+    names, _ = _req("GET", f"{server_url}/models/{h}/weights_names")
+    entries = names.decode().split("|")
+    assert len(entries) > 100
+    for e in entries:
+        typ, name = e.split(":", 1)
+        with open(os.path.join(YOLO_DIR, name), "rb") as f:
+            _req("PUT", f"{server_url}/models/{h}/weights/{name}?type={typ}", f.read())
+
+    # synthetic RGBA frame, same shape the canvas produces
+    rng = np.random.RandomState(0)
+    rgba = rng.randint(0, 256, (1, 640, 640, 4)).astype(np.float32)
+
+    def put(name, dims, arr, typ="float32"):
+        dimstr = ",".join(str(d) for d in dims)
+        _req("PUT", f"{server_url}/models/{h}/tensors/{name}?type={typ}&dims={dimstr}",
+             np.asarray(arr).tobytes())
+
+    put("images_raw", (1, 640, 640, 4), rgba)
+    put("slice_start", (1,), np.array([0], np.int64), "int64")
+    put("slice_end", (1,), np.array([3], np.int64), "int64")
+    put("slice_axis", (1,), np.array([3], np.int64), "int64")
+    put("div_value", (1,), np.array([255.0], np.float32))
+    put("split_arg", (2,), np.array([4, 80], np.int64), "int64")
+    body, _ = _req("POST", f"{server_url}/models/{h}/run")
+    assert json.loads(body) == {}
+
+    def get(name):
+        body, _ = _req("GET", f"{server_url}/models/{h}/tensors/{name}")
+        ndims = struct.unpack_from("<I", body)[0]
+        dims = struct.unpack_from(f"<{ndims}I", body, 4)
+        return np.frombuffer(body, np.float32, offset=4 + 4 * ndims).reshape(dims)
+
+    b = get("output0_0")  # (1, 8400, 4) xywh
+    s = get("output0_1")  # (1, 8400, 80)
+    assert b.shape == (1, 8400, 4) and s.shape == (1, 8400, 80)
+    xywh, cls = b[0], s[0]
+    boxes = np.stack([
+        xywh[:, 1] - xywh[:, 3] / 2, xywh[:, 0] - xywh[:, 2] / 2,
+        xywh[:, 1] + xywh[:, 3] / 2, xywh[:, 0] + xywh[:, 2] / 2,
+    ], axis=1)
+    scores = cls.max(axis=1)
+    assert np.isfinite(boxes).all() and 0 <= scores.max() <= 1
+    non_max_suppression(boxes, scores, iou_threshold=0.45, score_threshold=0.25)
+    _req("DELETE", f"{server_url}/models/{h}")
