@@ -59,12 +59,16 @@ def _fa_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32)  # (bm, d)
-    k = k_ref[0].astype(jnp.float32)  # (bn, d)
+    # operands stay in their storage dtype: bf16 inputs take single-pass MXU
+    # dots with fp32 accumulation (preferred_element_type); fp32 inputs keep
+    # the HIGHEST-precision parity path. An up-front astype(f32) would force
+    # multi-pass fp32 MXU work (~6x slower) for bf16 models.
+    q = q_ref[0]  # (bm, d)
+    k = k_ref[0]  # (bn, d)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         precision=precision,
-    )  # (bm, bn)
+    )  # (bm, bn) fp32
     s = s * scale
 
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_n
@@ -84,10 +88,12 @@ def _fa_kernel(
     p = jnp.exp(s - m_new[:, :1])  # (bm, bn)
 
     l_new = l_scr[...] * corr + jnp.broadcast_to(jnp.sum(p, axis=1, keepdims=True), m_prev.shape)
-    v = v_ref[0].astype(jnp.float32)  # (bn, dv)
+    v = v_ref[0]  # (bn, dv)
+    # probabilities in the value dtype: bf16 PV dot (fp32 accumulate) matches
+    # the probs.astype(v.dtype) of the unfused reference path
     pv = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=precision,
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
     )
     acc_scr[...] = acc_scr[...] * corr[:, :1] + pv
     m_scr[...] = m_new
@@ -166,8 +172,8 @@ def flash_attention(
     scale: Optional[float] = None,
     k_transposed: bool = False,
     causal: bool = False,
-    block_m: int = 256,
-    block_n: int = 512,
+    block_m: int = 512,
+    block_n: int = 1024,
     interpret: bool = False,
 ):
     """Flash SDPA over (..., H, M, D) x (..., Hkv, N, D) -> (..., H, M, Dv).

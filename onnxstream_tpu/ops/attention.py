@@ -85,15 +85,17 @@ def _use_flash(config, q, k, k_transposed=False) -> bool:
     d = q.shape[-1]
     if not (d % 8 == 0 and q.shape[-2] >= 8 and q.ndim in (3, 4)):
         return False
-    # per-shape choice: for small score matrices XLA's materialized
-    # matmul+softmax+matmul is faster than the blockwise kernel (measured
-    # 14.4 vs 16.0 ms/step on the SD1.5 UNet); flash only pays once the
-    # scores would strain HBM (SDXL 16k sequences, long-context LLM)
+    # per-shape choice, measured on v5e (device timeline, bf16): the
+    # blockwise kernel wins once the materialized scores are HBM-bound
+    # (h8 s4096 d40: 0.52 vs 0.86 ms; h8 s1024 d80: 0.050 vs 0.066 ms);
+    # XLA wins for short-KV / small scores where the kernel's lane padding
+    # dominates (cross-attn h8 m4096 n77: 0.015 vs 0.132 ms; s256: 0.012
+    # vs 0.018 ms)
     heads = q.shape[-3] if q.ndim >= 3 else 1
     batch = q.shape[0] if q.ndim == 4 else 1
     kv_len = k.shape[-1] if k_transposed else k.shape[-2]
     score_bytes = 2 * batch * heads * q.shape[-2] * kv_len
-    return score_bytes > (512 << 20)
+    return kv_len >= 512 and score_bytes >= (8 << 20)
 
 
 @register("ostpu.sdpa")
