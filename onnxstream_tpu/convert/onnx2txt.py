@@ -137,6 +137,17 @@ class _ShapeInference:
             else:
                 raise ValueError(f"{node.op_type} {node.name}: unknown input {n!r}")
 
+        # Shape of a symbolic tensor is fully determined by its inferred
+        # shape: emit a STATIC value so downstream shape math (the torch
+        # GroupNorm Reshape(x, Shape(x)) pattern and friends) keeps folding
+        if node.op_type == "Shape" and resolved and resolved[0][0] == "sym":
+            dims = np.asarray(resolved[0][1].shape, np.int64)
+            start = int(attrs.get("start", "0") or 0)
+            end = attrs.get("end")
+            dims = dims[start : int(end) if end not in (None, "") else None]
+            self.env[node.outputs[0]] = ("static", dims)
+            return [(tuple(dims.shape), dims.dtype)]
+
         if all(k in ("static", "none") for k, _ in resolved):
             ctx = self.Ctx(np, "host", self.config, op.name)
             outs = impl.fn(ctx, op, [v for _, v in resolved])

@@ -204,10 +204,28 @@ def flash_attention(
 
     block_m = min(block_m, _ceil_to(m, 8))
     block_n = min(block_n, _ceil_to(n, 128))
-    mp = _ceil_to(m, block_m)
-    npad = _ceil_to(n, block_n)
     dp = _ceil_to(d, 128)
     dvp = _ceil_to(dv, 128)
+
+    # clamp blocks to the ~16 MB scoped-VMEM budget (wide-head fp32 cases —
+    # e.g. the SDXL VAE mid-block attention, 1 head x d=512 — overflow the
+    # defaults: double-buffered q/k/v tiles + fp32 scores + scratch)
+    isz = jnp.dtype(q.dtype).itemsize
+
+    def vmem_est(bm, bn):
+        blocks = 2 * (bm * dp + bn * dp + bn * dvp) * isz  # double-buffered I/O
+        scratch = bm * 128 * 4 * 2 + bm * dvp * 4
+        inter = bm * bn * 4 + bm * bn * isz + bm * dvp * 4  # scores, p, pv
+        return blocks + scratch + inter + bm * dvp * isz
+
+    budget = 12 << 20
+    while vmem_est(block_m, block_n) > budget and block_n > 128:
+        block_n //= 2
+    while vmem_est(block_m, block_n) > budget and block_m > 8:
+        block_m //= 2
+
+    mp = _ceil_to(m, block_m)
+    npad = _ceil_to(n, block_n)
 
     qq = jnp.pad(q, ((0, 0), (0, 0), (0, mp - m), (0, dp - d))).reshape(b * h, mp, dp)
     kk = jnp.pad(k, ((0, 0), (0, 0), (0, npad - n), (0, dp - d))).reshape(b * hkv, npad, dp)

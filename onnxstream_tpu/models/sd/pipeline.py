@@ -493,12 +493,21 @@ class StableDiffusionPipeline:
                 def step(x, per_step):
                     t, c_in, c_out, slope, up, noise, ctx_c, pool_c, ctx_u, pool_u = per_step
                     x_in = (x * c_in).astype(cdt)[None]
-                    eps_c = unet_eps(x_in, t, ctx_c, pool_c)[0].astype(jnp.float32)
-                    den = eps_c * c_out + x
                     if has_uncond:
-                        eps_u = unet_eps(x_in, t, ctx_u, pool_u)[0].astype(jnp.float32)
+                        # one vmapped UNet over the CFG pair: batches the MXU
+                        # work and reads the 1.7 GB of weights once per step
+                        # instead of once per branch (x_in is closed over, so
+                        # only the conditioning is batched)
+                        ctxs = jnp.stack([ctx_c, ctx_u])
+                        pools = jnp.stack([pool_c, pool_u])
+                        eps2 = jax.vmap(lambda c, p: unet_eps(x_in, t, c, p))(ctxs, pools)
+                        eps_c = eps2[0][0].astype(jnp.float32)
+                        eps_u = eps2[1][0].astype(jnp.float32)
                         den_u = eps_u * c_out + x
-                        den = den_u + cfg_scale * (den - den_u)
+                        den = den_u + cfg_scale * ((eps_c * c_out + x) - den_u)
+                    else:
+                        eps_c = unet_eps(x_in, t, ctx_c, pool_c)[0].astype(jnp.float32)
+                        den = eps_c * c_out + x
                     x = x + (x - den) * slope + noise * up
                     return x, None
 
@@ -644,24 +653,10 @@ class StableDiffusionPipeline:
         return np.clip(img, 0, 255).astype(np.uint8)
 
     _tile_size = 32
+    _tile_decode_fns: Dict = None
 
-    def _decode_tiled(self, latents: np.ndarray, tile: Optional[int] = None, stride: Optional[int] = None, ramp: Optional[int] = None) -> np.ndarray:
-        """Tiled decode with linear overlap blending (reference
-        sd_tiled_decoder src/sd.cpp:1258-1346 / sdxl_decoder 2357-2517)."""
-        tile = tile or self._tile_size
-        sess = self.vae_tile_session or self.vae_decoder
-        # upscale factor from the tile model's declared output shape
-        out_spec = sess.graph.produced[sess.graph.output_names()[0]]
-        in_spec = next(iter(sess.graph.inputs.values()))
-        scale = out_spec.shape[-1] // in_spec.shape[-1] if out_spec.shape and in_spec.shape[-1] else 8
-        stride = stride if stride is not None else max(tile * 3 // 4, 1)  # 25% overlap (sd.cpp:1330)
-        ramp = ramp if ramp is not None else (tile - stride) * scale  # blend over the overlap
-        z = latents / np.float32(self.vae_scale)
-        lh, lw = z.shape[1], z.shape[2]
-        out_h, out_w = lh * scale, lw * scale
-        res = np.zeros((3, out_h, out_w), np.float32)
-        name = next(iter(sess.graph.inputs))
-
+    @staticmethod
+    def _tile_grid(lh: int, lw: int, tile: int, stride: int) -> Tuple[List[int], List[int]]:
         ys: List[int] = []
         y = 0
         while True:
@@ -676,7 +671,96 @@ class StableDiffusionPipeline:
             if xx >= lw - tile:
                 break
             xx += stride
+        return ys, xs
 
+    @staticmethod
+    def _blend_factor(dy: int, dx: int, th: int, tw: int, ramp: int) -> np.ndarray:
+        """Linear 25%-overlap blend ramp (reference blend, src/sd.cpp:1300-1326)."""
+        fy = np.ones((th, 1), np.float32)
+        if dy:
+            fy[: min(ramp, th), 0] = np.arange(min(ramp, th), dtype=np.float32) / ramp
+        fx = np.ones((1, tw), np.float32)
+        if dx:
+            fx[0, : min(ramp, tw)] = np.arange(min(ramp, tw), dtype=np.float32) / ramp
+        return fy * fx
+
+    def _decode_tiled(self, latents: np.ndarray, tile: Optional[int] = None, stride: Optional[int] = None, ramp: Optional[int] = None) -> np.ndarray:
+        """Tiled decode with linear overlap blending (reference
+        sd_tiled_decoder src/sd.cpp:1258-1346 / sdxl_decoder 2357-2517).
+
+        TPU-native: the whole tile grid is ONE compiled device program — the
+        tiles are static slices of the latent, the decoder runs vmapped over
+        the tile batch (one MXU pass instead of a host loop of per-tile
+        session runs), the overlap blend happens on device, and a single
+        uint8 image crosses PCIe. Falls back to the per-tile host loop when
+        the decoder is segmented (hbm_budget streaming)."""
+        tile = tile or self._tile_size
+        sess = self.vae_tile_session or self.vae_decoder
+        # upscale factor from the tile model's declared output shape
+        out_spec = sess.graph.produced[sess.graph.output_names()[0]]
+        in_spec = next(iter(sess.graph.inputs.values()))
+        scale = out_spec.shape[-1] // in_spec.shape[-1] if out_spec.shape and in_spec.shape[-1] else 8
+        stride = stride if stride is not None else max(tile * 3 // 4, 1)  # 25% overlap (sd.cpp:1330)
+        ramp = ramp if ramp is not None else (tile - stride) * scale  # blend over the overlap
+        z = latents / np.float32(self.vae_scale)
+        lh, lw = z.shape[1], z.shape[2]
+        ys, xs = self._tile_grid(lh, lw, tile, stride)
+        name = next(iter(sess.graph.inputs))
+
+        # establish the per-tile shape bucket, then grab the compiled segment
+        sess.clear_tensors()
+        sess.add_tensor(name, z[None, :, :tile, :tile].astype(np.float32))
+        ex = sess._executor()
+        if len(ex.segments) != 1:
+            return self._decode_tiled_host(z, sess, name, tile, scale, stride, ramp, ys, xs)
+
+        import jax
+        import jax.numpy as jnp
+
+        if self._tile_decode_fns is None:
+            self._tile_decode_fns = {}
+        key = (id(sess), tile, stride, ramp, lh, lw)
+        cached = self._tile_decode_fns.get(key)
+        if cached is None:
+            fn = ex._segment_fn(0)
+            out_name = next(n for n in ex.segments[0].out_names if ex.plan.avals[n].ndim == 4)
+            th = tw = tile * scale
+            factors = np.stack(
+                [self._blend_factor(sy * scale, sx * scale, th, tw, ramp) for sy in ys for sx in xs]
+            )  # (T, th, tw)
+
+            @jax.jit
+            def run(weights_a, z_a):
+                tiles = jnp.stack(
+                    [z_a[:, sy : sy + tile, sx : sx + tile] for sy in ys for sx in xs]
+                )  # (T, 4, tile, tile)
+                imgs = jax.vmap(lambda zt: fn(weights_a, {name: zt[None]})[out_name][0])(tiles)
+                imgs = imgs.astype(jnp.float32)  # (T, 3, th, tw)
+                res = jnp.zeros((3, lh * scale, lw * scale), jnp.float32)
+                t = 0
+                for sy in ys:
+                    for sx in xs:
+                        dy, dx = sy * scale, sx * scale
+                        f = factors[t]
+                        region = jax.lax.dynamic_slice(res, (0, dy, dx), (3, th, tw))
+                        blended = imgs[t] * f + region * (1.0 - f)
+                        res = jax.lax.dynamic_update_slice(res, blended, (0, dy, dx))
+                        t += 1
+                img8 = jnp.clip((res.transpose(1, 2, 0) + 1.0) * 127.5, 0, 255)
+                # f32->u8 convert truncates toward zero in XLA, same as the
+                # host path's np.astype
+                return img8.astype(jnp.uint8)
+
+            weights = ex._fetch_segment_weights(ex.segments[0])
+            cached = (run, weights)
+            self._tile_decode_fns[key] = cached
+        run_fn, weights_in = cached
+        return np.asarray(run_fn(weights_in, jnp.asarray(z, jnp.float32)))
+
+    def _decode_tiled_host(self, z, sess, name, tile, scale, stride, ramp, ys, xs) -> np.ndarray:
+        """Per-tile host loop (streaming-decoder fallback) — same math."""
+        lh, lw = z.shape[1], z.shape[2]
+        res = np.zeros((3, lh * scale, lw * scale), np.float32)
         for sy in ys:
             for sx in xs:
                 sess.clear_tensors()
@@ -685,13 +769,7 @@ class StableDiffusionPipeline:
                 img = next(v for v in out.values() if v.ndim == 4)[0]  # (3, tile*scale, tile*scale)
                 dy, dx = sy * scale, sx * scale
                 th, tw = img.shape[1], img.shape[2]
-                fy = np.ones((th, 1), np.float32)
-                if dy:
-                    fy[: min(ramp, th), 0] = np.arange(min(ramp, th), dtype=np.float32) / ramp
-                fx = np.ones((1, tw), np.float32)
-                if dx:
-                    fx[0, : min(ramp, tw)] = np.arange(min(ramp, tw), dtype=np.float32) / ramp
-                f = fy * fx
+                f = self._blend_factor(dy, dx, th, tw, ramp)
                 region = res[:, dy : dy + th, dx : dx + tw]
                 res[:, dy : dy + th, dx : dx + tw] = img * f + region * (1 - f)
 
