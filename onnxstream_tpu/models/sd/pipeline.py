@@ -74,6 +74,23 @@ class GenerationResult:
     step_images: List[np.ndarray] = dataclasses.field(default_factory=list)
 
 
+def _device_branch(branch):
+    """Move a CFG branch's loop-invariant tensors (context / pooled embeds)
+    to the device once; Session.add_tensor passes jax arrays through, so the
+    per-step denoise uploads only the latent instead of ~0.5 MB of context
+    every step (docs/tpu_notes.md on tunneled-link costs)."""
+    if branch is None:
+        return None
+    try:
+        import jax
+
+        if isinstance(branch, dict):
+            return {k: jax.device_put(np.asarray(v, np.float32)) for k, v in branch.items()}
+        return jax.device_put(np.asarray(branch, np.float32))
+    except Exception:
+        return branch
+
+
 def latent_to_rgb(sample: np.ndarray, proj: np.ndarray = SD_LATENT_RGB_PROJ) -> np.ndarray:
     """(4,h,w) latents -> (h,w,3) uint8 preview (reference sd_preview,
     src/sd.cpp:910-1029)."""
@@ -369,6 +386,12 @@ class StableDiffusionPipeline:
         sigma = sched.sigma_schedule(steps)
         x = init_latents if init_latents is not None else randn_4_w_h(seed % 1000, self.latw, self.lath) * sigma[0]
         x = np.asarray(x, np.float32)
+        # the context/pooled embeds are loop-invariant: move them to the
+        # device once so each denoise step only uploads the 64 KB latent
+        # (host->device re-uploads are expensive on a tunneled chip,
+        # docs/tpu_notes.md)
+        cond = _device_branch(cond)
+        uncond = _device_branch(uncond)
         state = S.SamplerState(sampler, steps, seed=seed, turbo=self.turbo)
         previews: List[np.ndarray] = []
         step_images: List[np.ndarray] = []

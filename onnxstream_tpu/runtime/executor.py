@@ -141,6 +141,7 @@ class Executor:
         self.provider = provider
         self.segments = build_segments(plan, plan.fetch_names)
         self._jitted: List[Any] = [None] * len(self.segments)
+        self._seg_arg_avals: Dict[int, tuple] = {}  # si -> (weights, acts) avals
         self._device_weight_cache: Dict = (
             plan.config.shared_device_weight_cache
             if plan.config.shared_device_weight_cache is not None
@@ -492,6 +493,48 @@ class Executor:
 
         return fn
 
+    def memory_analysis(self, si: int = 0):
+        """XLA's buffer-assignment peak for segment si (requires the segment
+        to have run at least once so the arg signature is known). This is the
+        compiler's exact accounting — it works where device memory_stats()
+        does not (e.g. over the axon tunnel). May trigger one AOT compile of
+        the same HLO; enable the JAX persistent compilation cache to make it
+        free."""
+        avals = self._seg_arg_avals.get(si)
+        if avals is None or self._jitted[si] is None:
+            return None
+        try:
+            comp = self._jitted[si].lower(*avals).compile()
+            ma = comp.memory_analysis()
+            return {
+                "peak_bytes": int(ma.peak_memory_in_bytes),
+                "temp_bytes": int(ma.temp_size_in_bytes),
+                "output_bytes": int(ma.output_size_in_bytes),
+                "weight_bytes": sum(upload_bytes(w) for w in self.segments[si].weight_args),
+            }
+        except Exception:
+            return None
+
+    def hbm_accounting(self):
+        """Peak-HBM estimate for this executor's execution mode.
+
+        Resident (budget 0): one segment holds all weights — its XLA peak is
+        the whole story. Streamed: the live set is segment k's program peak
+        plus segment k+1's weights arriving via the double buffer."""
+        per_seg = [self.memory_analysis(si) for si in range(len(self.segments))]
+        if any(m is None for m in per_seg):
+            return None
+        if len(per_seg) == 1:
+            return {"peak_bytes": per_seg[0]["peak_bytes"], "mode": "resident",
+                    "weight_bytes": per_seg[0]["weight_bytes"]}
+        peak = 0
+        for si, m in enumerate(per_seg):
+            nxt = per_seg[si + 1]["weight_bytes"] if si + 1 < len(per_seg) else 0
+            peak = max(peak, m["peak_bytes"] + nxt)
+        return {"peak_bytes": peak, "mode": "streamed",
+                "weight_bytes": sum(m["weight_bytes"] for m in per_seg),
+                "segments": len(per_seg)}
+
     def _compiled(self, si: int):
         if self._jitted[si] is None:
             # donation only pays off for large streamed buffers
@@ -551,6 +594,12 @@ class Executor:
                 # hop boundary activations onto this segment's stage device
                 dev = self._seg_device(si)
                 seg_in = {k: jax.device_put(v, dev) for k, v in seg_in.items()}
+            if si not in self._seg_arg_avals:
+                aval = lambda v: jax.ShapeDtypeStruct(np.shape(v), v.dtype)
+                self._seg_arg_avals[si] = (
+                    [aval(w) for w in weights],
+                    {k: aval(v) for k, v in seg_in.items()},
+                )
             fut = self._compiled(si)(weights, seg_in)
             if si + 1 < len(self.segments):
                 next_weights = self._fetch_segment_weights(self.segments[si + 1], si + 1)

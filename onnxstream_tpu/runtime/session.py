@@ -178,16 +178,31 @@ class Session:
     # ------------------------------------------------------------- telemetry
     def hbm_stats(self) -> Dict[str, int]:
         """Peak/current HBM use — the TPU analog of the reference's peak-RSS
-        report (src/sd.cpp:3309-3326)."""
+        report (src/sd.cpp:3309-3326).
+
+        Prefers the device allocator's live stats; where those are
+        unavailable (e.g. the tunneled axon backend returns None), falls
+        back to XLA's buffer-assignment accounting per compiled segment
+        (Executor.hbm_accounting) — the compiler's exact peak for the
+        program, plus the double-buffered next-segment weights in streaming
+        mode."""
         dev = self.config.device or jax.devices()[0]
         stats = getattr(dev, "memory_stats", lambda: None)()
-        if not stats:
-            return {}
-        return {
-            "bytes_in_use": stats.get("bytes_in_use", 0),
-            "peak_bytes_in_use": stats.get("peak_bytes_in_use", 0),
-            "bytes_limit": stats.get("bytes_limit", 0),
-        }
+        if stats:
+            return {
+                "bytes_in_use": stats.get("bytes_in_use", 0),
+                "peak_bytes_in_use": stats.get("peak_bytes_in_use", 0),
+                "bytes_limit": stats.get("bytes_limit", 0),
+            }
+        out: Dict[str, int] = {}
+        for ex in self._executors.values():
+            acc = ex.hbm_accounting()
+            if acc is None:
+                continue
+            out["peak_bytes_in_use"] = max(out.get("peak_bytes_in_use", 0), acc["peak_bytes"])
+            out["weight_bytes"] = max(out.get("weight_bytes", 0), acc["weight_bytes"])
+            out["accounting"] = "xla_buffer_assignment"
+        return out
 
     def close(self) -> None:
         if self._provider is not None:

@@ -147,6 +147,39 @@ def test_segmented_streaming_matches_single_segment():
     np.testing.assert_allclose(out2, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_hbm_stats_xla_accounting_fallback():
+    """Where the device exposes no allocator stats (tunneled TPU), hbm_stats
+    falls back to XLA buffer-assignment accounting; streamed mode adds the
+    next segment's double-buffered weights to the live set."""
+    w = silu_weights()
+    x = np.random.RandomState(1).randn(1, 3, 8, 8).astype(np.float32)
+
+    s = make_session(SILU_MODEL, dict(w))
+    s.add_tensor("x", x)
+    s.run()
+    ex = s._executor()
+    acc = ex.hbm_accounting()
+    assert acc is not None and acc["mode"] == "resident"
+    # weights are bf16/fp32 on device; peak covers at least the weight bytes
+    assert acc["peak_bytes"] >= acc["weight_bytes"] > 0
+
+    cfg = SessionConfig(hbm_budget_bytes=460)
+    s2 = make_session(SILU_MODEL, dict(w), cfg)
+    s2.add_tensor("x", x)
+    s2.run()
+    ex2 = s2._executor()
+    if len(ex2.segments) >= 2:
+        acc2 = ex2.hbm_accounting()
+        assert acc2 is not None and acc2["mode"] == "streamed"
+        assert acc2["segments"] == len(ex2.segments)
+        assert acc2["peak_bytes"] > 0
+
+    # the Session-level wrapper reports a peak either way (allocator stats
+    # or the XLA fallback)
+    stats = s.hbm_stats()
+    assert stats.get("peak_bytes_in_use", 0) > 0
+
+
 def test_weights_manifest():
     s = make_session(SILU_MODEL, silu_weights())
     m = s.get_weights_names()
