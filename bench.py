@@ -1,30 +1,64 @@
 """Headline benchmark: SD1.5 UNet denoising step on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus the
+framework's defining-feature numbers as extra keys:
+
+  * peak_hbm_mb      — XLA buffer-assignment peak for the resident run
+                       (BASELINE.md north star: ms/step + peak HBM MB; the
+                       reference's analog is 0.133 GB peak RSS, README.md:134)
+  * streamed         — {step_ms, peak_hbm_mb, hbm_budget_mb, host_to_hbm_gbps}
+                       for a run with hbm_budget_bytes ~ 1/4 of the weight
+                       bytes: every step re-streams the full ~1.7 GB of bf16
+                       weights host->HBM through the double buffer while
+                       segments execute (OnnxStream's defining feature mapped
+                       to TPU), so step time ~ max(compute, weight DMA) and
+                       peak HBM is bounded by budget + double buffer, not by
+                       the 860M-param model size.
+
+Measurement methodology (docs/tpu_notes.md): on the tunneled chip,
+``block_until_ready`` returns at local staging — only a device->host
+readback forces real completion — and the tunnel itself is a ~10-50 MB/s
+WAN. Therefore:
+
+  * the resident loop forces its warmup with a readback (one-time program
+    load + the 1.7 GB weight upload land outside the timed region), then
+    times n chained device-resident steps ended by one forcing readback
+    (~40 ms, amortized to <0.5 ms/step at n=100);
+  * the streamed measurement (inherently link-bound here) runs in a
+    subprocess and self-calibrates against the raw link rate, reporting
+    link_utilization so the result reads as "the double-buffer pipeline
+    saturates the available host link", which is the design claim.
 
 Baseline (BASELINE.md): the reference runs the SD1.5 UNet fp16 in 18.2 s per
-run (best of 3, i7-8750H AVX2 + SSD streaming, README.md:134). The metric here
-is the same model forward (860M params, 64x64 latents, 77-token context),
-built in the framework's text IR, planned/compiled by the session runtime,
-bf16 compute with Pallas flash attention, on one TPU v5e chip.
+step (best of 3, i7-8750H AVX2 + SSD streaming, README.md:134). The metric
+here is the same model forward (860M params, 64x64 latents, 77-token
+context), built in the framework's text IR, planned/compiled by the session
+runtime, bf16 compute with Pallas flash attention, on one TPU v5e chip.
 vs_baseline = reference_ms / our_ms (higher is better).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ostpu_jaxcache")
+
 BASELINE_UNET_MS = 18200.0
 
 
-def main() -> None:
-    t_setup = time.time()
+def _build_session(hbm_budget_bytes: int = 0):
     import jax
 
-    from onnxstream_tpu.models.sd.unet import build_unet, SD15, param_count
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/ostpu_jaxcache")
+    except Exception:
+        pass
+
+    from onnxstream_tpu.models.sd.unet import build_unet, SD15
     from onnxstream_tpu.runtime.config import SessionConfig
     from onnxstream_tpu.runtime.session import Session
     from onnxstream_tpu.runtime.weights import DictWeightsProvider
@@ -34,10 +68,10 @@ def main() -> None:
         compute_dtype="bfloat16",
         fuse_ops_in_attention=True,
         use_flash_attention=True,
+        hbm_budget_bytes=hbm_budget_bytes,
     )
     s = Session(config=config, weights_provider=DictWeightsProvider(g.weights))
     s.read_string(g.to_text())
-
     rng = np.random.RandomState(0)
     inputs = {
         "sample": rng.rand(1, 4, 64, 64).astype(np.float32),
@@ -46,47 +80,150 @@ def main() -> None:
     }
     for k, v in inputs.items():
         s.add_tensor(k, v)
+    return g, s, inputs
 
-    out = s.run()  # compile + weight upload
-    setup_s = time.time() - t_setup
 
-    # steady-state timing: chained device-resident steps (out_sample feeds the
-    # next step's sample, like a real diffusion loop with device-side CFG) and
-    # ONE final host fetch — per-step D2H would otherwise dominate on a
-    # tunneled chip (~50 ms round trip) and measure the link, not the model.
+def streamed_child() -> None:
+    """Bounded-HBM streaming measurement; prints one JSON line on stdout.
+
+    On this environment the host->HBM path is a tunneled WAN at ~10-50 MB/s
+    (docs/tpu_notes.md), so a streamed step is entirely link-bound: the
+    meaningful claim is that the double-buffered pipeline SATURATES whatever
+    link exists (step time ~ weight_bytes / link_bw). The child therefore
+    calibrates the raw link rate in the same process and reports
+    ``link_utilization`` = raw-link time / streamed step time alongside the
+    absolute numbers. On a real TPU host (PCIe ~15 GB/s) the same pipeline
+    streams the 1.7 GB in ~0.1 s/step.
+    """
     import jax
 
+    from onnxstream_tpu.runtime.executor import upload_bytes
+
+    t0 = time.time()
+    g, s, inputs = _build_session()  # resident twin only to size the budget
+    weight_bytes = sum(
+        upload_bytes(w) for w in s._executor().plan.arg_weights
+    )
+    s.close()
+    budget = weight_bytes // 4
+    g2, s2, _ = _build_session(hbm_budget_bytes=budget)
+    r = s2.run(device_outputs=True)  # warmup: compile + program load + 1st pass
+    out_name = next(iter(r))
+    np.asarray(r[out_name][(0,) * r[out_name].ndim])  # force warmup completion
+    setup_s = time.time() - t0
+
+    t0 = time.time()
+    r = s2.run(device_outputs=True)
+    np.asarray(r[out_name][(0,) * r[out_name].ndim])  # tiny forcing readback
+    step_ms = (time.time() - t0) * 1e3
+
+    # raw-link calibration AFTER the timed pass: transfer the SAME weight
+    # arrays again, without executing anything — the identical pattern (the
+    # tunnel's rate depends on transfer sizes: many medium arrays move
+    # faster than one large buffer), so utilization = pure-DMA time / step
+    # time isolates the pipeline's overhead over the link.
+    ex2 = s2._executor()
+    t0 = time.time()
+    last = None
+    for w in ex2.plan.arg_weights:
+        arr = ex2.provider.get(w.name, w.file_dtype, w.shape)
+        if arr.dtype != np.dtype(w.upload_dtype) and w.quant is None:
+            arr = arr.astype(w.upload_dtype)
+        last = jax.device_put(arr)
+    np.asarray(last[(0,) * last.ndim])  # FIFO: forces the whole calibration
+    link_gbps = weight_bytes / (time.time() - t0) / 1e9
+
+    stream_gbps = weight_bytes / (step_ms / 1e3) / 1e9
+    stats = s2.hbm_stats()
+    print(
+        json.dumps(
+            {
+                "step_ms": round(step_ms, 1),
+                "peak_hbm_mb": round(stats.get("peak_bytes_in_use", 0) / (1 << 20), 1),
+                "hbm_budget_mb": round(budget / (1 << 20), 1),
+                "weight_mb_per_step": round(weight_bytes / (1 << 20), 1),
+                "host_to_hbm_gbps": round(stream_gbps, 3),
+                "raw_link_gbps": round(link_gbps, 3),
+                "link_utilization": round(stream_gbps / link_gbps, 2) if link_gbps > 0 else None,
+                "segments": len(s2._executor().segments),
+                "setup_s": round(setup_s, 0),
+            }
+        )
+    )
+
+
+def main() -> None:
+    if "--streamed-child" in sys.argv:
+        streamed_child()
+        return
+
+    t_setup = time.time()
+    import jax
+
+    g, s, inputs = _build_session()
+    from onnxstream_tpu.models.sd.unet import param_count
+
+    # warmup: dispatch, then FORCE with a readback so one-time costs (program
+    # load, deferred 1.7 GB weight upload) land here, not in the timed region.
     ex = s._executor()
     seg = ex.segments[0]
-    weights = ex._fetch_segment_weights(seg)  # device-resident after first run
+    out_name = "out_sample" if "out_sample" in seg.out_names else seg.out_names[0]
+    weights = ex._fetch_segment_weights(seg)
     acts = {k: jax.device_put(np.asarray(v, np.float32)) for k, v in inputs.items()}
     cf = ex._compiled(0)
-    out_name = "out_sample" if "out_sample" in seg.out_names else seg.out_names[0]
     r = cf(weights, acts)
-    # warm the feedback signature (sample arrives in compute dtype)
     a = dict(acts)
-    a["sample"] = r[out_name]
+    a["sample"] = r[out_name]  # feedback signature (sample in compute dtype)
     r = cf(weights, a)
-    jax.block_until_ready(r)
+    out_probe = np.asarray(r[out_name], np.float32)  # forcing readback
+    setup_s = time.time() - t_setup
 
-    n_iter = 30
+    # steady-state: chained device-resident steps (out_sample feeds the next
+    # step's sample, like a real diffusion loop) + one forcing readback.
+    n_iter = 100
     t0 = time.time()
     for _ in range(n_iter):
         r = cf(weights, a)
         a["sample"] = r[out_name]
-    np.asarray(jax.device_get(r[out_name]))
+    np.asarray(r[out_name])
     dt_ms = (time.time() - t0) / n_iter * 1e3
+
+    # peak HBM (XLA buffer-assignment accounting; allocator memory_stats is
+    # unavailable over the tunnel). Pure compiler introspection, no transfers.
+    stats = s.hbm_stats()
+    peak_hbm_mb = round(stats.get("peak_bytes_in_use", 0) / (1 << 20), 1)
+
+    # streamed measurement in a clean-link subprocess (see module docstring)
+    streamed = None
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--streamed-child"],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        for line in (proc.stdout or "").splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                streamed = json.loads(line)
+                break
+        if streamed is None:
+            streamed = {"error": (proc.stderr or "no output")[-400:]}
+    except Exception as e:  # keep the headline metric even if the child dies
+        streamed = {"error": str(e)[:400]}
 
     result = {
         "metric": "sd15_unet_step_ms",
         "value": round(dt_ms, 2),
         "unit": "ms",
         "vs_baseline": round(BASELINE_UNET_MS / dt_ms, 1),
+        "peak_hbm_mb": peak_hbm_mb,
+        "streamed": streamed,
     }
     print(json.dumps(result))
     print(
         f"# setup {setup_s:.0f}s, params {param_count(g)/1e6:.0f}M, ops {len(g.ops)}, "
-        f"backend {jax.default_backend()}, out {list(out)[0]} max|x|={float(np.abs(list(out.values())[0]).max()):.3f}",
+        f"backend {jax.default_backend()}, out max|x|={float(np.abs(out_probe).max()):.3f}",
         file=sys.stderr,
     )
 

@@ -25,11 +25,18 @@ from __future__ import annotations
 
 import dataclasses
 import time
+import warnings
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# Streamed segments donate the whole weights list (one argnum); XLA aliases
+# the big buffers and rightly skips the small ones it can't — that partial
+# donation is the intended policy, so the per-compile warning about the
+# skipped buffers is pure noise (it dumps hundreds of shapes per segment).
+warnings.filterwarnings("ignore", message="Some donated buffers were not usable")
 
 from onnxstream_tpu.dtypes import DType
 from onnxstream_tpu.ir import Graph, OpNode
@@ -493,14 +500,33 @@ class Executor:
 
         return fn
 
+    def _derive_seg_avals(self, si: int):
+        """Reconstruct segment si's jit argument avals from the plan (same
+        construction as run(): all graph inputs flow through segment 0, and
+        each segment additionally takes its boundary in_names)."""
+        seg = self.segments[si]
+        w_avals = [
+            jax.ShapeDtypeStruct(w.shape, np.dtype(w.upload_dtype)) for w in seg.weight_args
+        ]
+        acts: Dict[str, Any] = {}
+        if si == 0:
+            acts.update(self.plan.input_avals)
+        for n in seg.in_names:
+            a = self.plan.avals.get(n) or self.plan.input_avals.get(n)
+            if a is None:
+                return None
+            acts[n] = a
+        return (w_avals, acts)
+
     def memory_analysis(self, si: int = 0):
-        """XLA's buffer-assignment peak for segment si (requires the segment
-        to have run at least once so the arg signature is known). This is the
+        """XLA's buffer-assignment peak for segment si. This is the
         compiler's exact accounting — it works where device memory_stats()
         does not (e.g. over the axon tunnel). May trigger one AOT compile of
         the same HLO; enable the JAX persistent compilation cache to make it
-        free."""
-        avals = self._seg_arg_avals.get(si)
+        free. Prefers the exact arg avals recorded by run(); derives them
+        from the plan when the segment has not run through Executor.run
+        (e.g. bench drives the compiled fn directly)."""
+        avals = self._seg_arg_avals.get(si) or self._derive_seg_avals(si)
         if avals is None or self._jitted[si] is None:
             return None
         try:

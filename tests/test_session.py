@@ -179,6 +179,12 @@ def test_hbm_stats_xla_accounting_fallback():
     stats = s.hbm_stats()
     assert stats.get("peak_bytes_in_use", 0) > 0
 
+    # derived-aval path: accounting works even when the compiled fn was
+    # driven directly (bench bypasses Executor.run, so no recorded avals)
+    ex._seg_arg_avals.clear()
+    acc3 = ex.hbm_accounting()
+    assert acc3 is not None and acc3["peak_bytes"] == acc["peak_bytes"]
+
 
 def test_weights_manifest():
     s = make_session(SILU_MODEL, silu_weights())

@@ -1,0 +1,129 @@
+"""Measured-numbers harness for the README performance table.
+
+Runs the flagship pipelines at full size on the current backend and prints
+one JSON line per measurement. All timings follow docs/tpu_notes.md: a wall
+interval only counts if a device->host readback inside it forces real
+completion (pipelines returning numpy images/latents/tokens force
+naturally); warmup/compile happens before the timed interval.
+
+Usage:
+    python tools/measure.py sd15 sdxl llm         # pick measurements
+    python tools/measure.py                       # all
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ostpu_jaxcache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+TINY = False  # --tiny: smoke-test the harness with the tiny architectures
+
+
+def _emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def measure_sd15() -> None:
+    from onnxstream_tpu.models.sd.pipeline import StableDiffusionPipeline
+
+    pipe = StableDiffusionPipeline.from_synthetic(tiny=TINY, compute_dtype="bfloat16")
+    prompt = "a photo of an astronaut riding a horse on mars"
+    t0 = time.time()
+    res = pipe.generate_on_device(prompt, steps=10, seed=42, sampler="euler_a", decode=True)
+    cold_s = time.time() - t0
+    t0 = time.time()
+    res = pipe.generate_on_device(prompt, steps=10, seed=42, sampler="euler_a", decode=True)
+    warm_s = time.time() - t0
+    _emit(
+        metric="sd15_e2e_10step_512",
+        warm_s=round(warm_s, 2),
+        cold_s=round(cold_s, 1),
+        unit="s",
+        image=list(np.shape(res.image)),
+        finite=bool(np.isfinite(res.latents).all()),
+    )
+
+
+def measure_sdxl() -> None:
+    from onnxstream_tpu.models.sd.pipeline import StableDiffusionPipeline
+
+    pipe = StableDiffusionPipeline.from_synthetic(tiny=TINY, xl=True, compute_dtype="bfloat16")
+    prompt = "a photo of an astronaut riding a horse on mars"
+    # warm (compile everything once)
+    res = pipe.generate_on_device(prompt, steps=2, seed=42, sampler="euler_a", decode=False)
+    t0 = time.time()
+    res = pipe.generate_on_device(prompt, steps=10, seed=42, sampler="euler_a", decode=False)
+    diff_s = time.time() - t0
+    img = pipe.decode(res.latents, tiled=False)  # warm full decode
+    t0 = time.time()
+    img = pipe.decode(res.latents, tiled=False)
+    dec_s = time.time() - t0
+    timg = pipe.decode(res.latents, tiled=True)  # warm tiled decode
+    t0 = time.time()
+    timg = pipe.decode(res.latents, tiled=True)
+    tdec_s = time.time() - t0
+    _emit(
+        metric="sdxl_10step_1024",
+        diffusion_warm_s=round(diff_s, 2),
+        per_step_ms=round(diff_s / 10 * 1e3, 0),
+        decode_warm_s=round(dec_s, 2),
+        tiled_decode_warm_s=round(tdec_s, 2),
+        unit="s",
+        image=list(np.shape(img)),
+        finite=bool(np.isfinite(res.latents).all()),
+    )
+
+
+def _measure_llm(cfg_name: str) -> None:
+    from onnxstream_tpu.models.llm.llama import TINYLLAMA, MISTRAL, param_count
+    from onnxstream_tpu.models.llm.pipeline import LlamaPipeline
+
+    from onnxstream_tpu.models.llm.llama import LLAMA_TINY
+    cfg = {"tinyllama": TINYLLAMA, "mistral": MISTRAL}[cfg_name] if not TINY else LLAMA_TINY
+    pipe = LlamaPipeline(cfg, compute_dtype="bfloat16")
+    prompt_ids = list(range(200, 232))  # 32-token synthetic prompt
+    n = 128
+    # warm with the identical call so every (L, past-bucket) graph the timed
+    # run will touch is already compiled
+    pipe.generate_on_device(prompt_ids, max_new_tokens=n)
+    pipe.reset()
+    t0 = time.time()
+    out = pipe.generate_on_device(prompt_ids, max_new_tokens=n)
+    dt = time.time() - t0
+    ntok = len(out)
+    _emit(
+        metric=f"{cfg_name}_decode_tok_s",
+        tok_s=round(ntok / dt, 1),
+        new_tokens=ntok,
+        wall_s=round(dt, 2),
+        params_m=round(param_count(cfg) / 1e6, 0),
+    )
+
+
+def main() -> None:
+    global TINY
+    TINY = "--tiny" in sys.argv
+    sel = set(a for a in sys.argv[1:] if not a.startswith("-")) or {
+        "sd15",
+        "sdxl",
+        "tinyllama",
+        "mistral",
+    }
+    if "sd15" in sel:
+        measure_sd15()
+    if "sdxl" in sel:
+        measure_sdxl()
+    if "tinyllama" in sel:
+        _measure_llm("tinyllama")
+    if "mistral" in sel:
+        _measure_llm("mistral")
+
+
+if __name__ == "__main__":
+    main()
