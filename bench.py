@@ -25,9 +25,9 @@ WAN. Therefore:
     times n chained device-resident steps ended by one forcing readback
     (~40 ms, amortized to <0.5 ms/step at n=100);
   * the streamed measurement (inherently link-bound here) runs in a
-    subprocess and self-calibrates against the raw link rate, reporting
-    link_utilization so the result reads as "the double-buffer pipeline
-    saturates the available host link", which is the design claim.
+    subprocess and self-calibrates against the raw link rate so the result
+    reads as "the double-buffer pipeline saturates the available host
+    link", which is the design claim.
 
 Baseline (BASELINE.md): the reference runs the SD1.5 UNet fp16 in 18.2 s per
 step (best of 3, i7-8750H AVX2 + SSD streaming, README.md:134). The metric
