@@ -192,24 +192,25 @@ def main() -> None:
     stats = s.hbm_stats()
     peak_hbm_mb = round(stats.get("peak_bytes_in_use", 0) / (1 << 20), 1)
 
+    def _child(argv, timeout):
+        """Run a measurement subprocess, return its first JSON stdout line."""
+        try:
+            proc = subprocess.run(
+                [sys.executable] + argv, capture_output=True, text=True, timeout=timeout
+            )
+            for line in (proc.stdout or "").splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    return json.loads(line)
+            return {"error": (proc.stderr or "no output")[-400:]}
+        except Exception as e:  # keep the headline metric even if a child dies
+            return {"error": str(e)[:400]}
+
+    here = os.path.dirname(os.path.abspath(__file__))
     # streamed measurement in a clean-link subprocess (see module docstring)
-    streamed = None
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--streamed-child"],
-            capture_output=True,
-            text=True,
-            timeout=1800,
-        )
-        for line in (proc.stdout or "").splitlines():
-            line = line.strip()
-            if line.startswith("{"):
-                streamed = json.loads(line)
-                break
-        if streamed is None:
-            streamed = {"error": (proc.stderr or "no output")[-400:]}
-    except Exception as e:  # keep the headline metric even if the child dies
-        streamed = {"error": str(e)[:400]}
+    streamed = _child([os.path.join(here, "bench.py"), "--streamed-child"], 1800)
+    # BASELINE.md north star also names TinyLlama tokens/sec
+    llm = _child([os.path.join(here, "tools", "measure.py"), "tinyllama"], 1800)
 
     result = {
         "metric": "sd15_unet_step_ms",
@@ -218,6 +219,7 @@ def main() -> None:
         "vs_baseline": round(BASELINE_UNET_MS / dt_ms, 1),
         "peak_hbm_mb": peak_hbm_mb,
         "streamed": streamed,
+        "tinyllama": llm,
     }
     print(json.dumps(result))
     print(

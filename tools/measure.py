@@ -55,8 +55,10 @@ def measure_sdxl() -> None:
 
     pipe = StableDiffusionPipeline.from_synthetic(tiny=TINY, xl=True, compute_dtype="bfloat16")
     prompt = "a photo of an astronaut riding a horse on mars"
-    # warm (compile everything once)
-    res = pipe.generate_on_device(prompt, steps=2, seed=42, sampler="euler_a", decode=False)
+    # warm with the IDENTICAL call: the scan length is baked into the
+    # compiled program, so a different steps count would leave the timed run
+    # paying its own compile
+    res = pipe.generate_on_device(prompt, steps=10, seed=42, sampler="euler_a", decode=False)
     t0 = time.time()
     res = pipe.generate_on_device(prompt, steps=10, seed=42, sampler="euler_a", decode=False)
     diff_s = time.time() - t0
