@@ -553,6 +553,36 @@ def _instance_norm(ctx: Ctx, op, ins):
     return [out.astype(dt)]
 
 
+@register("ostpu.groupnorm")
+def _ostpu_groupnorm(ctx: Ctx, op, ins):
+    """Channel-last GroupNorm — the fused form of the converter's
+    Reshape(N,G,-1) > InstanceNormalization > Reshape decomposition
+    (runtime/layout.py). Input (N,H,W,C); per-group scale/bias (G,) carry the
+    InstanceNormalization affine params (ones/zeros in the converter's
+    output, but honored exactly). Channels grouped contiguously, identical
+    element sets to the NCHW cluster — only the reduction layout changes."""
+    x, scale, bias = ins[0], ins[1], ins[2]
+    g = op.attr_int("groups")
+    eps = op.attr_float("epsilon", 1e-5)
+    n, h, w, c = x.shape
+    dt = x.dtype
+    xf = x.astype(jnp.float32).reshape(n, h * w, g, c // g)
+    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    mean2 = jnp.mean(jnp.square(xf), axis=(1, 3), keepdims=True)
+    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+    norm = (xf - mean) * lax.rsqrt(var + eps)
+    out = norm * scale.astype(jnp.float32).reshape(1, 1, g, 1) + bias.astype(jnp.float32).reshape(1, 1, g, 1)
+    return [out.reshape(n, h, w, c).astype(dt)]
+
+
+@register("ostpu.reshape", host=True)
+def _ostpu_reshape(ctx: Ctx, op, ins):
+    """Attribute-shaped reshape (no shape-constant weight input): emitted by
+    the layout pass where a Reshape target must change (runtime/layout.py)."""
+    shape = [int(v) for v in op.attr("shape").split(",")]
+    return [ctx.xp.reshape(ins[0], shape)]
+
+
 @register("LayerNormalization")
 def _layer_norm(ctx: Ctx, op, ins):
     x = ins[0]
@@ -661,6 +691,14 @@ def _conv(ctx: Ctx, op, ins):
         preferred_element_type=jnp.float32 if _is_float(x) else None,
         precision=_mxu_precision(x),
     )
+    if op.attr("layout") == "NHWC":
+        # channel-last input/output (runtime/layout.py rewrite): no transposes
+        dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "OIHW", "NHWC"))
+        out = lax.conv_general_dilated(x, w, dimension_numbers=dn, **conv_kw).astype(x.dtype)
+        if b is not None:
+            bb, _ = _align_binary(ctx, b, out)
+            out = out + bb.reshape((1,) + (1,) * n_spatial + (-1,))
+        return [out]
     if nhwc and x.ndim == 4:
         xt = jnp.transpose(x, (0, 2, 3, 1))
         dn = lax.conv_dimension_numbers(xt.shape, w.shape, ("NHWC", "OIHW", "NHWC"))
@@ -703,15 +741,26 @@ def _maxpool(ctx: Ctx, op, ins):
         padding.append((lo, hi))
 
     neg_inf = jnp.asarray(-jnp.inf if _is_float(x) else jnp.iinfo(x.dtype).min, x.dtype)
-    out = lax.reduce_window(
-        x,
-        neg_inf,
-        lax.max,
-        window_dimensions=(1, 1) + tuple(kernel),
-        window_strides=(1, 1) + tuple(strides),
-        padding=((0, 0), (0, 0)) + tuple(padding),
-    )
+    dims, strd, padd = _window_tuples(op, kernel, strides, padding)
+    out = lax.reduce_window(x, neg_inf, lax.max, window_dimensions=dims,
+                            window_strides=strd, padding=padd)
     return [out]
+
+
+def _window_tuples(op, kernel, strides, padding):
+    """Window spec for pooling: spatial dims sit at (2..) in NCHW and (1..)
+    in channel-last (layout:NHWC, runtime/layout.py)."""
+    if op.attr("layout") == "NHWC":
+        return (
+            (1,) + tuple(kernel) + (1,),
+            (1,) + tuple(strides) + (1,),
+            ((0, 0),) + tuple(padding) + ((0, 0),),
+        )
+    return (
+        (1, 1) + tuple(kernel),
+        (1, 1) + tuple(strides),
+        ((0, 0), (0, 0)) + tuple(padding),
+    )
 
 
 @register("AveragePool")
@@ -724,9 +773,7 @@ def _avgpool(ctx: Ctx, op, ins):
     count_include_pad = op.attr_int("count_include_pad", 0)
     padding = [(pads[i], pads[i + n_spatial]) for i in range(n_spatial)]
     ones = jnp.ones_like(x, dtype=jnp.float32)
-    dims = (1, 1) + tuple(kernel)
-    strd = (1, 1) + tuple(strides)
-    padd = ((0, 0), (0, 0)) + tuple(padding)
+    dims, strd, padd = _window_tuples(op, kernel, strides, padding)
     s = lax.reduce_window(x.astype(jnp.float32), 0.0, lax.add, dims, strd, padd)
     if count_include_pad:
         denom = float(np.prod(kernel))
@@ -740,7 +787,10 @@ def _avgpool(ctx: Ctx, op, ins):
 @register("GlobalAveragePool")
 def _global_avgpool(ctx: Ctx, op, ins):
     x = ins[0]
-    red = tuple(range(2, x.ndim))
+    if op.attr("layout") == "NHWC":
+        red = tuple(range(1, x.ndim - 1))
+    else:
+        red = tuple(range(2, x.ndim))
     return [_f32_island(ctx, x, lambda v: ctx.xp.mean(v, axis=red, keepdims=True))]
 
 
@@ -783,6 +833,15 @@ def _resize(ctx: Ctx, op, ins):
     mode = op.attr("mode", "nearest")
     coord = op.attr("coordinate_transformation_mode", "half_pixel")
     nearest_mode = op.attr("nearest_mode", "round_prefer_floor")
+
+    if op.attr("layout") == "NHWC" and x.ndim == 4:
+        # scales/sizes arrive in NCHW axis order (the model's constants);
+        # the tensor is channel-last (runtime/layout.py)
+        perm = (0, 2, 3, 1)
+        if scales is not None:
+            scales = [scales[p] for p in perm]
+        if sizes is not None:
+            sizes = [sizes[p] for p in perm]
 
     in_shape = list(x.shape)
     if sizes is not None:

@@ -30,6 +30,9 @@ class SessionConfig:
     use_ops_cache: bool = True  # jit executable cache (always beneficial on XLA)
     use_next_op_cache: bool = True  # parse cache (the Graph is parsed once regardless)
     use_nchw_convs: bool = False  # layout is XLA's concern on TPU; accepted for parity
+    # channel-last graph rewrite (runtime/layout.py): 4-D activations flow
+    # NHWC between convs so XLA tiles the (large) channel dim, not H/W
+    use_nhwc_layout: bool = True
     ops_printf: bool = False  # per-op log (onnxstream.cpp:3759)
     ops_times_printf: bool = False  # cumulative per-op-type ms (onnxstream.cpp:8199)
     range_data_calibrate: bool = False  # record activation ranges (onnxstream.cpp:2983)
@@ -39,6 +42,10 @@ class SessionConfig:
 
     # --- TPU-native knobs ---------------------------------------------------
     use_flash_attention: bool = True
+    # compile with compiler-chosen (AUTO) weight layouts and upload weights
+    # directly in that layout — otherwise XLA re-lays-out ~every weight on
+    # every step (measured 665 async copies = 1.2 GB/step on the SD1.5 UNet)
+    auto_weight_layouts: bool = True
     hbm_budget_bytes: int = 0  # 0 = single segment (no weight streaming cap)
     donate_weights: bool = True  # donate streamed weight buffers to the computation
     strict_shapes: bool = True  # enforce model.txt declared shapes (check_output_shape)
@@ -87,6 +94,7 @@ class SessionConfig:
             "ops_printf": lambda v: setattr(self, "ops_printf", v),
             "ops_times_printf": lambda v: setattr(self, "ops_times_printf", v),
             "use_nchw_convs": lambda v: setattr(self, "use_nchw_convs", v),
+            "use_nhwc_layout": lambda v: setattr(self, "use_nhwc_layout", v),
             "use_flash_attention": lambda v: setattr(self, "use_flash_attention", v),
         }
         if name not in mapping:

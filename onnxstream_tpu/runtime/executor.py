@@ -149,6 +149,7 @@ class Executor:
         self.segments = build_segments(plan, plan.fetch_names)
         self._jitted: List[Any] = [None] * len(self.segments)
         self._seg_arg_avals: Dict[int, tuple] = {}  # si -> (weights, acts) avals
+        self._weight_formats_cache: Dict[int, Any] = {}  # si -> [Format] | None
         self._device_weight_cache: Dict = (
             plan.config.shared_device_weight_cache
             if plan.config.shared_device_weight_cache is not None
@@ -232,16 +233,17 @@ class Executor:
             return qarr
         return arr
 
-    def _weight_to_device_input(self, w: WeightArg, arr: np.ndarray):
+    def _weight_to_device_input(self, w: WeightArg, arr: np.ndarray, fmt=None):
         """Host-side dtype conversion (once — written back through the
         provider, like the reference's WeightsProvider::update) and async
-        device_put."""
+        device_put, directly into the compiled program's chosen layout when
+        AUTO weight layouts are active."""
         arr = self._maybe_force_quant(w, arr)
         target = np.dtype(w.upload_dtype)
         if arr.dtype != target and w.quant is None:
             arr = arr.astype(target)
             self.provider.update(w.name, arr)
-        dst = self._weight_shardings.get(w.name, self._device)
+        dst = fmt if fmt is not None else self._weight_shardings.get(w.name, self._device)
         return jax.device_put(arr, dst)
 
     def _fetch_segment_weights(self, seg: Segment, si: int = 0) -> List[jax.Array]:
@@ -254,16 +256,21 @@ class Executor:
         # stay in this executor's private cache.
         shared = self.config.shared_device_weight_cache is not None
         min_bytes = self.config.shared_cache_min_bytes
+        formats = self._weight_formats(si)
 
-        def shared_key(w: WeightArg):
+        def shared_key(w: WeightArg, fmt):
             if shared and upload_bytes(w) >= min_bytes:
-                return (w.name, w.shape, str(np.dtype(w.upload_dtype)))
+                # the layout is part of the identity: two programs may want
+                # the same weight in different physical layouts
+                lk = str(getattr(fmt, "layout", None)) if fmt is not None else ""
+                return (w.name, w.shape, str(np.dtype(w.upload_dtype)), lk)
             return None
 
         resident = self.config.hbm_budget_bytes == 0 or self.config.pp_devices
         out = []
-        for w in seg.weight_args:
-            key = shared_key(w)
+        for wi, w in enumerate(seg.weight_args):
+            fmt = formats[wi] if formats is not None else None
+            key = shared_key(w, fmt)
             hit = (self._device_weight_cache.get(key) if key is not None
                    else self._private_weight_cache.get(w.name))
             if hit is not None:
@@ -282,7 +289,7 @@ class Executor:
                     arr = arr.astype(target)
                 dev = jax.device_put(arr, device)
             else:
-                dev = self._weight_to_device_input(w, arr)
+                dev = self._weight_to_device_input(w, arr, fmt)
             if resident:
                 # resident weights: no streaming budget, or pp stages own
                 # their segment's weights permanently
@@ -561,20 +568,74 @@ class Executor:
                 "weight_bytes": sum(m["weight_bytes"] for m in per_seg),
                 "segments": len(per_seg)}
 
+    def _donate(self, si: int):
+        # donation only pays off for large streamed buffers
+        return (
+            (0,)
+            if (
+                self.config.donate_weights
+                and self.config.hbm_budget_bytes > 0
+                and self.segments[si].weight_bytes > (1 << 24)
+            )
+            else ()
+        )
+
+    def _auto_layout_eligible(self) -> bool:
+        """Compiler-chosen weight layouts: without them, XLA inserts an async
+        relayout copy of nearly every weight parameter on EVERY step (measured
+        665 copy-starts/step = ~1.2 GB of HBM copy traffic on the SD1.5 UNet).
+        Compiling with AUTO weight layouts and uploading weights already in
+        the chosen layout makes the relayout a one-time host-upload cost."""
+        import os
+
+        return (
+            self.config.auto_weight_layouts
+            and self.config.mesh is None
+            and not self.config.pp_devices
+            and (
+                jax.default_backend() == "tpu"
+                # CPU layouts are trivial, but tests exercise the path with it
+                or os.environ.get("OSTPU_FORCE_AUTO_LAYOUTS") == "1"
+            )
+        )
+
     def _compiled(self, si: int):
         if self._jitted[si] is None:
-            # donation only pays off for large streamed buffers
-            donate = (
-                (0,)
-                if (
-                    self.config.donate_weights
-                    and self.config.hbm_budget_bytes > 0
-                    and self.segments[si].weight_bytes > (1 << 24)
-                )
-                else ()
-            )
-            self._jitted[si] = jax.jit(self._segment_fn(si), donate_argnums=donate)
+            self._jitted[si] = jax.jit(self._segment_fn(si), donate_argnums=self._donate(si))
         return self._jitted[si]
+
+    def _weight_formats(self, si: int):
+        """Per-weight upload Formats for segment si (None when ineligible or
+        the avals cannot be derived). One AUTO-layout AOT compile from the
+        plan's avals discovers the layouts the compiler wants its weight
+        parameters in; weights are then uploaded already in that layout, and
+        the (plain) jit call honors the committed layouts — so the per-step
+        relayout copies disappear. The discovery compile is cached by the JAX
+        persistent compilation cache."""
+        if not self._auto_layout_eligible():
+            return None
+        if si in self._weight_formats_cache:
+            return self._weight_formats_cache[si]
+        avals = self._seg_arg_avals.get(si) or self._derive_seg_avals(si)
+        fmts = None
+        if avals is not None:
+            try:
+                from jax._src.layout import AutoLayout, Format
+
+                auto = Format(AutoLayout())
+                sd = jax.sharding.SingleDeviceSharding(self._seg_device(si))
+                spec = ([auto] * len(self.segments[si].weight_args), sd)
+                comp = (
+                    jax.jit(self._segment_fn(si), donate_argnums=self._donate(si),
+                            in_shardings=spec)
+                    .lower(*avals)
+                    .compile()
+                )
+                fmts = list(comp.input_formats[0][0])
+            except Exception:
+                fmts = None
+        self._weight_formats_cache[si] = fmts
+        return fmts
 
     # ------------------------------------------------------------------ runs
     def _prepare_inputs(self, inputs: Dict[str, np.ndarray]) -> Dict[str, Any]:

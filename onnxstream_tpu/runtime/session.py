@@ -64,7 +64,17 @@ class Session:
 
     def _load(self, text: str) -> None:
         self._raw_graph = parse_model_txt(text, allow_dynamic=self.config.support_dynamic_shapes)
+        self._rebuild_graph()
+
+    def _rebuild_graph(self) -> None:
+        """Graph-level rewrites from the raw parse: attention fusion, then the
+        channel-last layout pass (runtime/layout.py). Re-run whenever options
+        or extra outputs change — both passes read the config."""
+        from onnxstream_tpu.runtime.layout import rewrite_nhwc
+
         self.graph = fuse_attention(self._raw_graph, self.config, self._loader)
+        self.graph = rewrite_nhwc(self.graph, self.config,
+                                  keep_names=self.config.extra_outputs)
         self._executors.clear()
 
     @property
@@ -100,12 +110,14 @@ class Session:
         re-fused from the raw parse and compiled executors are dropped."""
         self.config.set_option(name, value)
         if self._raw_graph is not None:
-            self.graph = fuse_attention(self._raw_graph, self.config, self._loader)
+            self._rebuild_graph()
         self._executors.clear()
 
     def add_extra_output(self, name: str) -> None:
         if name not in self.config.extra_outputs:
             self.config.extra_outputs.append(name)
+        if self._raw_graph is not None:
+            self._rebuild_graph()
         self._executors.clear()
 
     def get_tensor(self, name: str) -> np.ndarray:
