@@ -175,6 +175,7 @@ def flash_attention(
     block_m: int = 512,
     block_n: int = 1024,
     interpret: bool = False,
+    pad_lanes: bool = True,
 ):
     """Flash SDPA over (..., H, M, D) x (..., Hkv, N, D) -> (..., H, M, Dv).
 
@@ -204,8 +205,11 @@ def flash_attention(
 
     block_m = min(block_m, _ceil_to(m, 8))
     block_n = min(block_n, _ceil_to(n, 128))
-    dp = _ceil_to(d, 128)
-    dvp = _ceil_to(dv, 128)
+    # pad_lanes=False keeps the real head dim: Mosaic masks the partial lane
+    # tile, so the padded HBM copies of Q/K/V (3.2x bytes at d=40) never
+    # materialize; the MXU pass width is the same either way.
+    dp = _ceil_to(d, 128) if pad_lanes else d
+    dvp = _ceil_to(dv, 128) if pad_lanes else dv
 
     # clamp blocks to the ~16 MB scoped-VMEM budget (wide-head fp32 cases —
     # e.g. the SDXL VAE mid-block attention, 1 head x d=512 — overflow the

@@ -30,9 +30,13 @@ class SessionConfig:
     use_ops_cache: bool = True  # jit executable cache (always beneficial on XLA)
     use_next_op_cache: bool = True  # parse cache (the Graph is parsed once regardless)
     use_nchw_convs: bool = False  # layout is XLA's concern on TPU; accepted for parity
-    # channel-last graph rewrite (runtime/layout.py): 4-D activations flow
-    # NHWC between convs so XLA tiles the (large) channel dim, not H/W
-    use_nhwc_layout: bool = True
+    # channel-last graph rewrite (runtime/layout.py). Default OFF: measured
+    # on v5e, XLA's own layout assignment handles the NCHW graph as well as
+    # the explicit rewrite (the logical transposes are already free), while
+    # GroupNorm statistics become major-dim reductions in channel-last form
+    # and run ~8x slower (0.76 -> 6.27 ms/step on the SD1.5 UNet). Kept as a
+    # tested option for converted graphs without norm-heavy conv stacks.
+    use_nhwc_layout: bool = False
     ops_printf: bool = False  # per-op log (onnxstream.cpp:3759)
     ops_times_printf: bool = False  # cumulative per-op-type ms (onnxstream.cpp:8199)
     range_data_calibrate: bool = False  # record activation ranges (onnxstream.cpp:2983)
@@ -46,6 +50,13 @@ class SessionConfig:
     # directly in that layout — otherwise XLA re-lays-out ~every weight on
     # every step (measured 665 async copies = 1.2 GB/step on the SD1.5 UNet)
     auto_weight_layouts: bool = True
+    # run small-spatial / tiny-K convs as im2col + one MXU dot. Default OFF:
+    # XLA's direct NCHW convolution for 8x8 outputs is ~10% MFU, but the
+    # explicit patch-extraction (slice-stack-transpose) costs even more on
+    # v5e — measured +4 ms/step on the SD1.5 UNet (11.6 -> 15.7). Kept as a
+    # tested option; the tradeoff may differ for conv-heavy small-spatial
+    # models where the patches fuse away.
+    use_dot_convs: bool = False
     hbm_budget_bytes: int = 0  # 0 = single segment (no weight streaming cap)
     donate_weights: bool = True  # donate streamed weight buffers to the computation
     strict_shapes: bool = True  # enforce model.txt declared shapes (check_output_shape)

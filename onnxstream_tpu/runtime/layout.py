@@ -33,6 +33,15 @@ Graph inputs/outputs keep their NCHW contract (one transpose at each end).
 The pass is a no-op for graphs with no eligible Convs (LLMs, encoders) and
 is disabled under ``use_nchw_convs`` / uint8 execution modes (those paths
 key calibration data to the NCHW op stream).
+
+MEASURED VERDICT (v5e, SD1.5 UNet step, device timeline): the rewrite is
+layout-neutral for convs and elementwise work — XLA's layout assignment
+already gives the NCHW graph channel-minor tilings and elides the logical
+transposes — but normalization statistics flip from fast lane-direction
+reductions ((N,G,C/G*H*W) minor-dim) to slow major-direction reductions
+over H*W (0.76 -> 6.27 ms/step total). Net: 12.4 -> 17.0 ms/step. The pass
+therefore defaults OFF (`use_nhwc_layout`); it remains correct, tested, and
+available for graphs where the tradeoff differs (norm-free conv stacks).
 """
 
 from __future__ import annotations

@@ -310,3 +310,37 @@ def test_shape_op():
     x = rand(2, 3, 4)
     (s,) = run_op("Shape", [jnp.asarray(x)])
     assert s.dtype == np.int64 and list(s) == [2, 3, 4]
+
+
+def test_conv_im2col_dot_matches_lax():
+    """The use_dot_convs path (ops/standard._conv_im2col_dot): im2col + MXU
+    dot must match lax.conv_general_dilated across stride/pad/dilation and
+    asymmetric kernels (same patch ordering as kernels/qconv.py)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from onnxstream_tpu.ops import Ctx
+    from onnxstream_tpu.ops import standard as S
+    from onnxstream_tpu.runtime.config import SessionConfig
+
+    rng = np.random.RandomState(0)
+    ctx = Ctx(jnp, "device", SessionConfig(), "t")
+    cases = [
+        (1, 8, 8, 8, 16, 3, 3, 1, 1, 1),
+        (1, 4, 16, 16, 8, 3, 3, 1, 1, 1),
+        (2, 6, 9, 7, 5, 3, 2, 2, 0, 1),
+        (1, 5, 10, 10, 4, 3, 3, 1, 2, 2),
+    ]
+    for n, c, h, w_, o, kh, kw, stride, pad, dil in cases:
+        x = jnp.asarray(rng.randn(n, c, h, w_), jnp.float32)
+        wt = jnp.asarray(rng.randn(o, c, kh, kw) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.randn(o), jnp.float32)
+        got = S._conv_im2col_dot(ctx, x, wt, b, (stride, stride),
+                                 [pad, pad, pad, pad], (dil, dil))
+        dn = lax.conv_dimension_numbers(x.shape, wt.shape, ("NCHW", "OIHW", "NCHW"))
+        ref = lax.conv_general_dilated(
+            x, wt, window_strides=(stride, stride), padding=[(pad, pad), (pad, pad)],
+            rhs_dilation=(dil, dil), dimension_numbers=dn,
+            precision=lax.Precision.HIGHEST,
+        ) + b.reshape(1, -1, 1, 1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)

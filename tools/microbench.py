@@ -81,14 +81,21 @@ def bench_case(name: str, iters: int = 200):
 
     m, c, h, d = LEVELS[lvl]
 
-    if kind in ("sdpa_flash", "sdpa_xla"):
+    if kind in ("sdpa_flash", "sdpa_xla", "sdpa_nopad", "sdpa_bm1024"):
         from onnxstream_tpu.kernels.flash_attention import flash_attention
         from onnxstream_tpu.ops.attention import sdpa_reference
 
         q = jnp.asarray(rng.rand(1, h, m, d), dt)
         k = jnp.asarray(rng.rand(1, h, m, d), dt)
         v = jnp.asarray(rng.rand(1, h, m, d), dt)
-        f = flash_attention if kind == "sdpa_flash" else sdpa_reference
+        if kind == "sdpa_xla":
+            f = sdpa_reference
+        elif kind == "sdpa_nopad":
+            f = functools.partial(flash_attention, pad_lanes=False)
+        elif kind == "sdpa_bm1024":
+            f = functools.partial(flash_attention, block_m=1024, block_n=1024)
+        else:
+            f = flash_attention
         jf = jax.jit(lambda q, k, v: f(q, k, v))
         ms = _chain_time(jf, (q, k, v), iters, lambda o, a: (o, a[1], a[2]))
         gf = 2 * 2 * h * m * m * d / 1e9

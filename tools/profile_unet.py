@@ -45,6 +45,8 @@ def build(variant: str, batch: int = 1):
         compute_dtype="bfloat16",
         fuse_ops_in_attention=True,
         use_flash_attention=(variant != "noflash"),
+        auto_weight_layouts=("noauto" not in variant),
+        use_dot_convs=("nodotconv" not in variant),
     )
     s = Session(config=config, weights_provider=DictWeightsProvider(g.weights))
     s.read_string(g.to_text())
