@@ -489,7 +489,7 @@ class StableDiffusionPipeline:
             ex = self.unet._executor()
             assert len(ex.segments) == 1, "on-device generate requires a single segment"
             fn = ex._segment_fn(0)
-            weights = ex._fetch_segment_weights(ex.segments[0])
+            weights = ex._fetch_segment_weights(ex.segments[0], with_formats=False)
             out_name = next(
                 n for n in ex.segments[0].out_names if ex.plan.avals[n].ndim == 4
             )
@@ -774,7 +774,7 @@ class StableDiffusionPipeline:
                 # host path's np.astype
                 return img8.astype(jnp.uint8)
 
-            weights = ex._fetch_segment_weights(ex.segments[0])
+            weights = ex._fetch_segment_weights(ex.segments[0], with_formats=False)
             cached = (run, weights)
             self._tile_decode_fns[key] = cached
         run_fn, weights_in = cached

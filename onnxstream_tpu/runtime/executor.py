@@ -246,7 +246,13 @@ class Executor:
         dst = fmt if fmt is not None else self._weight_shardings.get(w.name, self._device)
         return jax.device_put(arr, dst)
 
-    def _fetch_segment_weights(self, seg: Segment, si: int = 0) -> List[jax.Array]:
+    def _fetch_segment_weights(self, seg: Segment, si: int = 0,
+                               with_formats: bool = True) -> List[jax.Array]:
+        """with_formats=False: upload in DEFAULT layouts. Callers that feed
+        the weights into their OWN jitted programs (the pipelines' on-device
+        scan loops) must use this — committed AUTO-layout arrays constrain
+        that other program's parameter layouts and XLA re-lays them out
+        inside the loop (measured 3.7x on the SDXL on-device scan)."""
         device = self._seg_device(si)
         # The cross-session shared cache only holds BIG weights, keyed by
         # (name, shape, dtype): builder-aux constants (masks, index tables)
@@ -256,7 +262,7 @@ class Executor:
         # stay in this executor's private cache.
         shared = self.config.shared_device_weight_cache is not None
         min_bytes = self.config.shared_cache_min_bytes
-        formats = self._weight_formats(si)
+        formats = self._weight_formats(si) if with_formats else None
 
         def shared_key(w: WeightArg, fmt):
             if shared and upload_bytes(w) >= min_bytes:
