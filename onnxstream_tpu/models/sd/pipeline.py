@@ -497,9 +497,13 @@ class StableDiffusionPipeline:
             has_uncond = not (self.turbo or uncond is None)
 
             @jax.jit
-            def run(weights_a, x0, per_step_stack):
+            def run(weights_a, x0, per_step_stack, ctx_c, pool_c, ctx_u, pool_u):
                 # weights flow through the jit boundary as arguments — a
-                # closure would bake them into the executable as constants
+                # closure would bake them into the executable as constants.
+                # Conditioning is loop-invariant: it rides OUTSIDE the scan
+                # stack so the host uploads each context once per call, not
+                # once per step (the tunneled link makes duplicated uploads
+                # measurable, docs/tpu_notes.md).
 
                 def unet_eps(x_in, t, ctx, pooled):
                     acts = {
@@ -514,7 +518,7 @@ class StableDiffusionPipeline:
                     return fn(weights_a, acts)[out_name]
 
                 def step(x, per_step):
-                    t, c_in, c_out, slope, up, noise, ctx_c, pool_c, ctx_u, pool_u = per_step
+                    t, c_in, c_out, slope, up, noise = per_step
                     x_in = (x * c_in).astype(cdt)[None]
                     if has_uncond:
                         # one vmapped UNet over the CFG pair: batches the MXU
@@ -549,7 +553,6 @@ class StableDiffusionPipeline:
                 return np.asarray(c["pooled"], np.float32)
             return np.zeros((1, 1), np.float32)  # unused placeholder
 
-        n = steps
         per_step = (
             np.asarray(ts, np.float32),
             np.asarray(c_ins, np.float32),
@@ -557,12 +560,19 @@ class StableDiffusionPipeline:
             np.asarray(slopes, np.float32),
             np.asarray(ups, np.float32),
             np.stack(noises).astype(np.float32),
-            np.broadcast_to(ctx_of(cond), (n,) + ctx_of(cond).shape).copy(),
-            np.broadcast_to(pool_of(cond), (n,) + pool_of(cond).shape).copy(),
-            np.broadcast_to(ctx_of(uncond if uncond is not None else cond), (n,) + ctx_of(cond).shape).copy(),
-            np.broadcast_to(pool_of(uncond if uncond is not None else cond), (n,) + pool_of(cond).shape).copy(),
         )
-        x = np.asarray(run_fn(weights_in, x0, per_step), np.float32)
+        x = np.asarray(
+            run_fn(
+                weights_in,
+                x0,
+                per_step,
+                ctx_of(cond),
+                pool_of(cond),
+                ctx_of(uncond if uncond is not None else cond),
+                pool_of(uncond if uncond is not None else cond),
+            ),
+            np.float32,
+        )
 
         image = self.decode(x, tiled=tiled_decode) if decode and self.vae_decoder is not None else None
         return GenerationResult(image=image, latents=x, previews=[])

@@ -83,15 +83,31 @@ class MT19937:
         self.idx = 624
 
     def _generate(self) -> None:
+        # Vectorized twist. mt[(i+397)%624] reads ALREADY-UPDATED entries for
+        # i >= 227 (and i=623's y-term reads updated mt[0]), so the update
+        # runs in dependency-ordered chunks: [0,227) sees only old state;
+        # [227,454) needs new[0:227]; [454,623) needs new[227:396]; i=623
+        # needs new[0] and new[396]. Bit-exact vs the scalar loop (the
+        # compiled-oracle tests cover full-period blocks).
         mt = self.mt
+        old = mt.copy()
         upper = np.uint64(0x80000000)
         lower = np.uint64(0x7FFFFFFF)
-        for i in range(624):
-            y = (mt[i] & upper) | (mt[(i + 1) % 624] & lower)
-            nxt = mt[(i + 397) % 624] ^ (y >> np.uint64(1))
-            if y & np.uint64(1):
-                nxt ^= np.uint64(0x9908B0DF)
-            mt[i] = nxt
+        magic = np.uint64(0x9908B0DF)
+        one = np.uint64(1)
+
+        def twist(y, x397):
+            nxt = x397 ^ (y >> one)
+            return np.where((y & one).astype(bool), nxt ^ magic, nxt)
+
+        y = (old[0:227] & upper) | (old[1:228] & lower)
+        mt[0:227] = twist(y, old[397:624])
+        y = (old[227:454] & upper) | (old[228:455] & lower)
+        mt[227:454] = twist(y, mt[0:227])
+        y = (old[454:623] & upper) | (old[455:624] & lower)
+        mt[454:623] = twist(y, mt[227:396])
+        y = (old[623] & upper) | (mt[0] & lower)
+        mt[623] = twist(np.uint64(y).reshape(1), mt[396].reshape(1))[0]
         self.idx = 0
 
     def next_block(self, n: int) -> np.ndarray:
@@ -126,15 +142,30 @@ class NormalDistributionFloat:
     def __init__(self, gen: MT19937):
         self.gen = gen
         self._saved: float | None = None
+        # FIFO of 32-bit draws taken from `gen` in blocks but not yet
+        # consumed by the polar loop: keeps the consumed-draw sequence
+        # IDENTICAL to the scalar C++ loop across fill()/__call__ mixes even
+        # though we over-draw for vectorization.
+        self._ubuf = np.empty(0, dtype=np.uint32)
 
     _ONE = np.float32(1.0)
     _TWO = np.float32(2.0)
     _NEG2 = np.float32(-2.0)
     _R = np.float32(4294967296.0)
 
+    def _take_u32(self, n: int) -> np.ndarray:
+        if self._ubuf.size >= n:
+            out, self._ubuf = self._ubuf[:n], self._ubuf[n:]
+            return out
+        if self._ubuf.size:
+            out = np.concatenate([self._ubuf, self.gen.next_block(n - self._ubuf.size)])
+            self._ubuf = np.empty(0, dtype=np.uint32)
+            return out
+        return self.gen.next_block(n)
+
     def _canonical(self) -> np.float32:
         # generate_canonical<float,24,mt19937>: float(x) / float(2^32)
-        return np.float32(np.float32(self.gen()) / self._R)
+        return np.float32(np.float32(self._take_u32(1)[0]) / self._R)
 
     def __call__(self) -> np.float32:
         if self._saved is not None:
@@ -151,7 +182,52 @@ class NormalDistributionFloat:
         return np.float32(y * mult)
 
     def fill(self, n: int) -> np.ndarray:
-        return np.fromiter((self() for _ in range(n)), dtype=np.float32, count=n)
+        """Vectorized fill, bit-identical to n scalar __call__s.
+
+        The polar loop consumes canonicals strictly in aligned pairs (both
+        rejection and acceptance take exactly two), so the accepted pairs of
+        the draw stream — in order — are exactly what the scalar loop
+        accepts. Everything except logf is IEEE elementwise arithmetic
+        (identical vectorized); logf stays the per-element libm call
+        (see _logf: numpy's float32 log is 1 ulp off on some inputs).
+        Over-drawn pairs beyond the n-th output are pushed back to _ubuf so
+        the stream position stays exact."""
+        out = np.empty(n, dtype=np.float32)
+        k = 0
+        if self._saved is not None and n > 0:
+            out[0] = self._saved
+            self._saved = None
+            k = 1
+        while k < n:
+            need_pairs = (n - k + 1) // 2
+            m = need_pairs + (need_pairs >> 2) + 16  # ~pi/4 acceptance
+            u32 = self._take_u32(2 * m)
+            u = u32.astype(np.float32) / self._R
+            x = self._TWO * u[0::2] - self._ONE
+            y = self._TWO * u[1::2] - self._ONE
+            r2 = x * x + y * y
+            acc = ~((r2 > self._ONE) | (r2 == np.float32(0.0)))
+            idx = np.nonzero(acc)[0]
+            if idx.size >= need_pairs:
+                last = int(idx[need_pairs - 1])
+                # draws after the pair that completes the fill were never
+                # consumed by the scalar loop: return them to the buffer
+                self._ubuf = np.concatenate([u32[2 * (last + 1):], self._ubuf])
+                idx = idx[:need_pairs]
+            xa, ya, r2a = x[idx], y[idx], r2[idx]
+            logs = np.empty_like(r2a)
+            for i in range(logs.size):
+                logs[i] = _logf(r2a[i])
+            mult = np.sqrt(self._NEG2 * logs / r2a)
+            pairs = np.empty(2 * idx.size, dtype=np.float32)
+            pairs[0::2] = ya * mult
+            pairs[1::2] = xa * mult
+            take = min(pairs.size, n - k)
+            out[k : k + take] = pairs[:take]
+            k += take
+            if take < pairs.size:
+                self._saved = np.float32(pairs[take])
+        return out
 
 
 def randn_4_w_h(seed: int, w: int, h: int) -> np.ndarray:
