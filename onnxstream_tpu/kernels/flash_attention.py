@@ -27,6 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2_E = 1.4426950408889634
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -63,19 +64,26 @@ def _fa_kernel(
     # dots with fp32 accumulation (preferred_element_type); fp32 inputs keep
     # the HIGHEST-precision parity path. An up-front astype(f32) would force
     # multi-pass fp32 MXU work (~6x slower) for bf16 models.
-    q = q_ref[0]  # (bm, d)
+    #
+    # Softmax runs in the log2 domain: scale*log2(e) is folded into the
+    # (bm, d) Q tile before the dot, so the kernel never spends a
+    # full-(bm, bn) VPU op on the scale multiply or the ln->log2 conversion
+    # that a plain exp() would need — exp2 is the hardware transcendental.
+    # exp2(s2 - m2) == exp(s - m) exactly (monotone rescale), so the online
+    # max/sum bookkeeping is unchanged.
+    q = q_ref[0] * jnp.asarray(scale * LOG2_E, q_ref.dtype)  # (bm, d)
     k = k_ref[0]  # (bn, d)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         precision=precision,
-    )  # (bm, bn) fp32
-    s = s * scale
+    )  # (bm, bn) fp32, log2-domain logits
 
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_n
     if n_valid % block_n != 0:
         s = jnp.where(col < n_valid, s, NEG_INF)
     if mask_ref is not None:
-        s = s + mask_ref[0].astype(jnp.float32)
+        # the wrapper pre-multiplies the additive mask by log2(e)
+        s = s + mask_ref[0]
     if causal:
         i = pl.program_id(1)
         row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * q.shape[0]
@@ -84,8 +92,8 @@ def _fa_kernel(
     m_prev = m_scr[...]  # (bm, 128) replicated
     m_cur = jnp.max(s, axis=1, keepdims=True)  # (bm, 1)
     m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
-    corr = jnp.exp(m_prev - m_new)  # (bm, 128)
-    p = jnp.exp(s - m_new[:, :1])  # (bm, bn)
+    corr = jnp.exp2(m_prev - m_new)  # (bm, 128)
+    p = jnp.exp2(s - m_new[:, :1])  # (bm, bn)
 
     l_new = l_scr[...] * corr + jnp.broadcast_to(jnp.sum(p, axis=1, keepdims=True), m_prev.shape)
     v = v_ref[0]  # (bn, dv)
@@ -158,6 +166,12 @@ def _flash_call(q, k, v, mask, scale, causal, n_valid, block_m, block_n, offset,
             flops=2 * 2 * bh * mp * npad * dp,
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
             transcendentals=bh * mp * npad,
+        ),
+        # (batch*heads, q-blocks) are independent; only the KV axis carries
+        # the online-softmax state — telling Mosaic lets it overlap the next
+        # block's MXU pass with this block's VPU softmax across grid steps
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(*args)
@@ -255,7 +269,8 @@ def flash_attention(
         else:
             mask = jnp.broadcast_to(mask, (b, h, mp, npad))
             g = b * h
-        mm = mask.reshape(g, mp, npad).astype(jnp.float32)
+        # log2-domain (see _fa_kernel); NEG_INF padding saturates either way
+        mm = mask.reshape(g, mp, npad).astype(jnp.float32) * LOG2_E
 
     out = _flash_call(
         qq, kk, vv, mm, float(scale), causal, n, block_m, block_n, offset=n - m,

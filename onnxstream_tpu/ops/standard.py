@@ -712,6 +712,36 @@ def _conv_im2col_dot(ctx: Ctx, x, w, b, strides, pads, dilations):
     return y.reshape(n, ho, wo, o).transpose(0, 3, 1, 2)
 
 
+def _conv_rowdot(ctx: Ctx, x, w, b):
+    """3x3 stride-1 same-pad conv as three row-shifted MXU dots (NCHW io).
+
+    Column im2col first: xw = concat of the three dx-shifted NHWC views
+    -> (N, H, W, 3C). Zero-pad one row top/bottom and flatten to
+    (N, (H+2)*W, 3C); each kernel row dy then contributes one dot of a
+    *contiguous* slice a[:, dy*W : dy*W + H*W] with w[:, :, dy, :] laid out
+    (3C, O) in dx-major row order. Exactly 2*HW*9C*O FLOPs — none of the
+    redundant work of XLA's space-to-batch / dot->conv schedules on these
+    shapes — and the only relayout is the single (HW, 3C) concat."""
+    n, c, h, wd = x.shape
+    o = w.shape[0]
+    xt = jnp.transpose(x, (0, 2, 3, 1))  # (N,H,W,C)
+    xp = jnp.pad(xt, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    xw = jnp.concatenate([xp[:, :, j : j + wd, :] for j in range(3)], axis=-1)
+    a = jnp.pad(xw, ((0, 0), (1, 1), (0, 0), (0, 0))).reshape(n, (h + 2) * wd, 3 * c)
+    acc = None
+    for dy in range(3):
+        # (kw, C, O): contraction rows dx-major to match the xw concat order
+        w2 = jnp.transpose(w[:, :, dy, :], (2, 1, 0)).reshape(3 * c, o)
+        yy = jnp.matmul(
+            a[:, dy * wd : dy * wd + h * wd, :], w2,
+            preferred_element_type=jnp.float32, precision=_mxu_precision(x),
+        )
+        acc = yy if acc is None else acc + yy
+    if b is not None:
+        acc = acc + b.astype(acc.dtype).reshape(1, 1, o)
+    return acc.astype(x.dtype).reshape(n, h, wd, o).transpose(0, 3, 1, 2)
+
+
 @register("Conv")
 def _conv(ctx: Ctx, op, ins):
     x, w = ins[0], ins[1]
@@ -760,6 +790,20 @@ def _conv(ctx: Ctx, op, ins):
             bb, _ = _align_binary(ctx, b, out)
             out = out + bb.reshape((1,) + (1,) * n_spatial + (-1,))
         return [out]
+    if (
+        not conv1d
+        and group == 1
+        and x.ndim == 4
+        and ctx.xp is jnp
+        and _is_float(x)
+        and getattr(ctx.config, "use_rowdot_convs", False)
+        and tuple(w.shape[2:]) == (3, 3)
+        and strides == [1, 1]
+        and dilations == [1, 1]
+        and pads == [1, 1, 1, 1]
+        and x.shape[1] >= 32
+    ):
+        return [_conv_rowdot(ctx, x, w, b)]
     if (
         not conv1d
         and group == 1

@@ -57,6 +57,12 @@ class SessionConfig:
     # tested option; the tradeoff may differ for conv-heavy small-spatial
     # models where the patches fuse away.
     use_dot_convs: bool = False
+    # run 3x3/stride-1 convs as three row-shifted MXU dots over a
+    # column-im2col (HW, 3C) matrix (ops/standard.py _conv_rowdot): exact
+    # conv FLOPs, contiguous row-shift slices. XLA's own conv emitters on
+    # these shapes schedule space-to-batch / dot->conv forms that execute
+    # ~3x the algorithmic FLOPs at ~12% effective MFU (docs/tpu_notes.md).
+    use_rowdot_convs: bool = False
     hbm_budget_bytes: int = 0  # 0 = single segment (no weight streaming cap)
     donate_weights: bool = True  # donate streamed weight buffers to the computation
     strict_shapes: bool = True  # enforce model.txt declared shapes (check_output_shape)

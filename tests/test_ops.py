@@ -344,3 +344,51 @@ def test_conv_im2col_dot_matches_lax():
             precision=lax.Precision.HIGHEST,
         ) + b.reshape(1, -1, 1, 1)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_conv_rowdot_matches_lax():
+    """The use_rowdot_convs path (ops/standard._conv_rowdot): 3x3 stride-1
+    same-pad conv as three row-shifted MXU dots over a column-im2col
+    (HW, 3C) matrix. Also checks the Conv op dispatches to it only for
+    eligible shapes (3x3/s1/p1/d1, C >= 32)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from onnxstream_tpu.ops import Ctx
+    from onnxstream_tpu.ops import standard as S
+    from onnxstream_tpu.runtime.config import SessionConfig
+
+    rng = np.random.RandomState(1)
+    cfg = SessionConfig(use_rowdot_convs=True)
+    ctx = Ctx(jnp, "device", cfg, "t")
+    for n, c, h, w_, o in [(1, 32, 8, 8, 48), (2, 64, 9, 7, 32), (1, 40, 16, 16, 40)]:
+        x = jnp.asarray(rng.randn(n, c, h, w_), jnp.float32)
+        wt = jnp.asarray(rng.randn(o, c, 3, 3) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.randn(o), jnp.float32)
+        got = S._conv_rowdot(ctx, x, wt, b)
+        dn = lax.conv_dimension_numbers(x.shape, wt.shape, ("NCHW", "OIHW", "NCHW"))
+        ref = lax.conv_general_dilated(
+            x, wt, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+            dimension_numbers=dn, precision=lax.Precision.HIGHEST,
+        ) + b.reshape(1, -1, 1, 1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    # through the op dispatch: a stride-2 conv must NOT take the rowdot path
+    # (it falls back to lax.conv) while a 3x3/s1/p1 conv must still be exact
+    def conv_op(attrs):
+        return OpNode(name="t/Conv", op_type="Conv",
+                      inputs=[TensorSpec(name=f"i{k}") for k in range(3)],
+                      outputs=[TensorSpec(name="o0")],
+                      attrs={k: str(v) for k, v in attrs.items()})
+
+    x = jnp.asarray(rng.randn(1, 32, 8, 8), jnp.float32)
+    wt = jnp.asarray(rng.randn(16, 32, 3, 3) * 0.1, jnp.float32)
+    (y,) = S._conv(ctx, conv_op({"strides": "1,1", "pads": "1,1,1,1"}), [x, wt, None])
+    dn = lax.conv_dimension_numbers(x.shape, wt.shape, ("NCHW", "OIHW", "NCHW"))
+    ref = lax.conv_general_dilated(x, wt, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn,
+                                   precision=lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-4, atol=1e-4)
+    (y2,) = S._conv(ctx, conv_op({"strides": "2,2", "pads": "1,1,1,1"}), [x, wt, None])
+    ref2 = lax.conv_general_dilated(x, wt, (2, 2), [(1, 1), (1, 1)], dimension_numbers=dn,
+                                    precision=lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(ref2), rtol=1e-4, atol=1e-4)

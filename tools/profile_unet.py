@@ -47,6 +47,7 @@ def build(variant: str, batch: int = 1):
         use_flash_attention=(variant != "noflash"),
         auto_weight_layouts=("noauto" not in variant),
         use_dot_convs=("nodotconv" not in variant),
+        use_rowdot_convs=("rowdot" in variant),
     )
     s = Session(config=config, weights_provider=DictWeightsProvider(g.weights))
     s.read_string(g.to_text())
