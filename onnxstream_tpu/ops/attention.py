@@ -55,8 +55,11 @@ def sdpa_reference(q, k, v, mask=None, scale=None, k_transposed=False, causal=Fa
     # score materialization would double the dominant HBM traffic. The scale
     # folds into q BEFORE the matmul so raw fp16 dot products cannot
     # overflow 65504.
+    # fp32 inputs take true-fp32 MXU passes (parity with the op library's
+    # _mxu_precision policy); default TPU einsum would run bf16 passes
+    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
     q = q * jnp.asarray(scale, q.dtype)
-    logits = jnp.einsum("...md,...nd->...mn", q, k)
+    logits = jnp.einsum("...md,...nd->...mn", q, k, precision=prec)
     if mask is not None:
         logits = logits + mask.astype(logits.dtype)
     if causal:
@@ -66,8 +69,46 @@ def sdpa_reference(q, k, v, mask=None, scale=None, k_transposed=False, causal=Fa
         neg = jnp.asarray(jnp.finfo(logits.dtype).min, logits.dtype)
         logits = jnp.where(col <= row + (n - m), logits, neg)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
-    out = jnp.einsum("...mn,...nd->...md", probs, v, preferred_element_type=jnp.float32)
+    out = jnp.einsum("...mn,...nd->...md", probs, v, preferred_element_type=jnp.float32, precision=prec)
     return out.astype(q.dtype)
+
+
+def sdpa_reference_packed(q, k, v, heads, mask=None, scale=None, causal=False):
+    """Packed-projection SDPA: q (..., M, H*D), k/v (..., N, Hkv*D) -> (..., M, H*Dv).
+
+    The head split/merge lives inside the einsums (dot_general batch dims),
+    never as Transpose ops. Note XLA still lowers the upstream projection
+    dot + head-split reshape into a head-axis convolution; that form
+    measures ~0.6 ms/step on the SD1.5 UNet, so this path is about graph
+    hygiene, not speed (docs/tpu_notes.md)."""
+    lead = q.shape[:-2]
+    m, hd = q.shape[-2:]
+    d = hd // heads
+    n = k.shape[-2]
+    hkv = k.shape[-1] // d
+    dv = v.shape[-1] // hkv
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+    q4 = q.reshape(lead + (m, heads, d)) * jnp.asarray(scale, q.dtype)
+    k4 = k.reshape(lead + (n, hkv, d))
+    v4 = v.reshape(lead + (n, hkv, dv))
+    if heads != hkv:
+        if heads % hkv:
+            raise ValueError(f"GQA requires q_heads % kv_heads == 0, got {heads} vs {hkv}")
+        k4 = jnp.repeat(k4, heads // hkv, axis=-2)
+        v4 = jnp.repeat(v4, heads // hkv, axis=-2)
+    logits = jnp.einsum("...mhd,...nhd->...hmn", q4, k4, precision=prec)
+    if mask is not None:
+        logits = logits + mask.astype(logits.dtype)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (m, n), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1)
+        neg = jnp.asarray(jnp.finfo(logits.dtype).min, logits.dtype)
+        logits = jnp.where(col <= row + (n - m), logits, neg)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+    out = jnp.einsum("...hmn,...nhd->...mhd", probs, v4, preferred_element_type=jnp.float32, precision=prec)
+    return out.reshape(lead + (m, heads * dv)).astype(q.dtype)
 
 
 def _use_flash(config, q, k, k_transposed=False) -> bool:
@@ -98,6 +139,26 @@ def _use_flash(config, q, k, k_transposed=False) -> bool:
     return kv_len >= 512 and score_bytes >= (8 << 20)
 
 
+def _use_flash_packed(config, heads, q, k) -> bool:
+    if config is not None and not getattr(config, "use_flash_attention", True):
+        return False
+    try:
+        import jax
+
+        platform = jax.default_backend()
+    except Exception:
+        return False
+    if platform not in ("tpu",):
+        return False
+    d = q.shape[-1] // heads
+    if not (d % 8 == 0 and q.shape[-2] >= 8 and q.ndim in (2, 3)):
+        return False
+    batch = q.shape[0] if q.ndim == 3 else 1
+    kv_len = k.shape[-2]
+    score_bytes = 2 * batch * heads * q.shape[-2] * kv_len
+    return kv_len >= 512 and score_bytes >= (8 << 20)
+
+
 @register("ostpu.sdpa")
 def _sdpa(ctx: Ctx, op, ins):
     q, k, v = ins[0], ins[1], ins[2]
@@ -105,6 +166,20 @@ def _sdpa(ctx: Ctx, op, ins):
     scale = op.attr_float("scale", 0.0) or None
     k_transposed = bool(op.attr_int("k_transposed", 0))
     causal = bool(op.attr_int("causal", 0))
+    heads = op.attr_int("heads", 0)
+
+    if heads:
+        # packed projections (fusion absorbed the head split/merge)
+        if scale is None:
+            scale = 1.0 / math.sqrt(q.shape[-1] // heads)
+        if mask is None and _use_flash_packed(ctx.config, heads, q, k):
+            from onnxstream_tpu.kernels.flash_attention import flash_attention_packed
+
+            try:
+                return [flash_attention_packed(q, k, v, heads, scale=scale, causal=causal)]
+            except NotImplementedError:
+                pass
+        return [sdpa_reference_packed(q, k, v, heads, mask=mask, scale=scale, causal=causal)]
 
     if _use_flash(ctx.config, q, k, k_transposed):
         from onnxstream_tpu.kernels.flash_attention import flash_attention

@@ -46,6 +46,12 @@ class SessionConfig:
 
     # --- TPU-native knobs ---------------------------------------------------
     use_flash_attention: bool = True
+    # absorb the head-split Reshape+Transpose around recognized attention into
+    # ostpu.sdpa (packed Q/K/V): ~6 fewer graph ops per attention and no
+    # explicit head transposes. Measured perf-neutral on the SD1.5 UNet —
+    # XLA lowers the projection dot + head split into a head-axis convolution
+    # either way, at ~0.6 ms/step total (docs/tpu_notes.md)
+    fuse_attention_heads: bool = True
     # compile with compiler-chosen (AUTO) weight layouts and upload weights
     # directly in that layout — otherwise XLA re-lays-out ~every weight on
     # every step (measured 665 async copies = 1.2 GB/step on the SD1.5 UNet)
@@ -113,6 +119,7 @@ class SessionConfig:
             "use_nchw_convs": lambda v: setattr(self, "use_nchw_convs", v),
             "use_nhwc_layout": lambda v: setattr(self, "use_nhwc_layout", v),
             "use_flash_attention": lambda v: setattr(self, "use_flash_attention", v),
+            "fuse_attention_heads": lambda v: setattr(self, "fuse_attention_heads", v),
         }
         if name not in mapping:
             raise ValueError(f"unknown option {name!r}")

@@ -188,17 +188,102 @@ class _Rewriter:
         else:
             scale_attr = f"{scale:.17g}"
 
+        # --- packed-heads extension (TPU-native; no reference analog) -------
+        # Absorb the per-side head-split Reshape+Transpose and the output-side
+        # Transpose+Reshape merge so the projection matmuls stay plain dots in
+        # the compiled program (fuse_attention_heads in runtime/config.py).
+        outputs = list(consumer.outputs)
+        heads = 0
+        # mask-free only: the packed flash kernel takes no mask, and demoting
+        # masked attention (LLM prefill) to the einsum path would cost more
+        # than the projection-dot fix saves
+        if mask_spec is None and getattr(self.config, "fuse_attention_heads", False):
+            packed = self._peel_packed_heads(q_spec, k_spec, v_spec, k_transposed, consumer)
+            if packed is not None:
+                q_spec, k_spec, v_spec, outputs, heads, extra = packed
+                k_transposed = 0
+                removed.extend(extra)
+
         inputs = [q_spec, k_spec, v_spec]
         if mask_spec is not None:
             inputs.append(mask_spec)
+        attrs = {"scale": scale_attr, "k_transposed": str(k_transposed), "causal": "0"}
+        if heads:
+            attrs["heads"] = str(heads)
         fused = OpNode(
             name=consumer.name + "_sdpa",
             op_type="ostpu.sdpa",
             inputs=inputs,
-            outputs=list(consumer.outputs),
-            attrs={"scale": scale_attr, "k_transposed": str(k_transposed), "causal": "0"},
+            outputs=outputs,
+            attrs=attrs,
         )
         return sorted(set(removed)), fused
+
+    def _peel_packed_heads(self, q_spec, k_spec, v_spec, k_transposed, consumer):
+        """Try to absorb head split/merge around a recognized attention.
+
+        Requires, on each of Q/K/V: producer Transpose(0,2,1,3) of a Reshape
+        (B,L,H*D)->(B,L,H,D) (K may instead be Transpose(0,2,3,1) when it
+        arrives pre-transposed), and on the output: a sole-consumer
+        Transpose(0,2,1,3) + Reshape back to (B,M,H*Dv). Every interior
+        tensor must have exactly one consumer. Returns (q, k, v, outputs,
+        heads, removed_indices) with packed (B, L, H*D) specs, or None."""
+        ops = self.graph.ops
+
+        def prod_idx(spec):
+            return self.producer.get(spec.name)
+
+        def peel_split(spec, want_perm):
+            ti = prod_idx(spec)
+            if ti is None:
+                return None
+            t = ops[ti]
+            if t.op_type != "Transpose" or len(self.consumers.get(spec.name, [])) != 1:
+                return None
+            perm = t.attr_ints("perm")
+            if perm is None or list(perm) != want_perm:
+                return None
+            rspec = t.inputs[0]
+            if len(rspec.shape) != 4 or len(self.consumers.get(rspec.name, [])) != 1:
+                return None
+            ri = prod_idx(rspec)
+            if ri is None or ops[ri].op_type != "Reshape":
+                return None
+            src = ops[ri].inputs[0]
+            b, l, h, dh = rspec.shape
+            if tuple(src.shape) != (b, l, h * dh):
+                return None
+            return src, h, dh, [ti, ri]
+
+        q = peel_split(q_spec, [0, 2, 1, 3])
+        k = peel_split(k_spec, [0, 2, 3, 1] if k_transposed else [0, 2, 1, 3])
+        v = peel_split(v_spec, [0, 2, 1, 3])
+        if q is None or k is None or v is None:
+            return None
+        if q[2] != k[2] or k[1] != v[1] or q[1] % k[1]:  # equal head dims, kv head counts; GQA divisibility
+            return None
+
+        # output merge: sdpa out (B,H,M,Dv) -> Transpose(0,2,1,3) -> Reshape
+        out_spec = consumer.outputs[0]
+        ti = self._only_consumer(out_spec.name)
+        if ti is None:
+            return None
+        t = ops[ti]
+        perm = t.attr_ints("perm") if t.op_type == "Transpose" else None
+        if perm is None or list(perm) != [0, 2, 1, 3]:
+            return None
+        ri = self._only_consumer(t.outputs[0].name)
+        if ri is None:
+            return None
+        r = ops[ri]
+        if r.op_type != "Reshape":
+            return None
+        b, hh, m, dv = t.inputs[0].shape
+        if tuple(r.outputs[0].shape) != (b, m, hh * dv):
+            return None
+
+        removed = q[3] + k[3] + v[3] + [ti, ri]
+        return q[0], k[0], v[0], list(r.outputs), q[1], removed
 
 
 def fuse_attention(graph: Graph, config: SessionConfig, weight_loader=None) -> Graph:

