@@ -156,6 +156,102 @@ def qmatmul(
     return out.reshape(orig_shape[:-1] + (N,))
 
 
+def _w8mm_kernel(a_ref, w_ref, arow_ref, o_ref, acc_scr, *,
+                 nk: int, zw: float, sw: float, precision):
+    kstep = pl.program_id(2)
+
+    @pl.when(kstep == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    a = a_ref[...]
+    # u8 -> i32 -> f32 is exact for values <= 255; the final cast matches the
+    # activation dtype so bf16 models take single-pass MXU dots
+    w = w_ref[...].astype(jnp.int32).astype(jnp.float32).astype(a.dtype)
+    acc_scr[...] += jax.lax.dot_general(
+        a, w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+    @pl.when(kstep == nk - 1)
+    def _finish():
+        # sum_k a[i,k] * (w[k,j] - zw) * sw  ==  sw*acc - sw*zw*rowsum(a)
+        o_ref[...] = ((acc_scr[...] - zw * arow_ref[...]) * sw).astype(o_ref.dtype)
+
+
+def w8_matmul(
+    a: jax.Array,
+    w_q: jax.Array,
+    w_scale: float,
+    w_zero: int,
+    out_dtype=None,
+    block_m: int = 256,
+    block_n: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Weight-only-quantized matmul: float (..., M, K) x uint8 (K, N) -> float.
+
+    The TPU-native form of the reference's dequantize-on-load for uint8
+    weights (src/onnxstream.cpp:2885-2909): instead of materializing a float
+    copy of the weight (which doubles the HBM traffic a decode step pays —
+    the u8 read, the float write, then the dot's float read), the u8 blocks
+    are dequantized in VMEM inside the matmul's K loop. HBM sees only the
+    1-byte weights, so bandwidth-bound steps (LLM decode) run ~2x faster
+    than bf16-resident weights, and the dequantized tensor never exists.
+
+    Dequantization here is EXACT (u8 values are exact in the MXU input dtype;
+    the zero-point/scale correction applies in the fp32 epilogue), slightly
+    better than the dequantize-to-bf16-then-dot path it replaces.
+    """
+    orig_shape = a.shape
+    K = orig_shape[-1]
+    N = w_q.shape[-1]
+    a2 = a.reshape(-1, K)
+    M = a2.shape[0]
+    out_dtype = out_dtype or a.dtype
+    precision = jax.lax.Precision.HIGHEST if a.dtype == jnp.float32 else None
+
+    arow = jnp.sum(a2.astype(jnp.float32), axis=1, keepdims=True)  # (M, 1)
+
+    bm = min(block_m, max(8, 1 << (M - 1).bit_length()))
+    bn = min(block_n, max(128, 1 << (N - 1).bit_length()))
+    bk = min(block_k, max(128, 1 << (K - 1).bit_length()))
+    ap = _pad_to(_pad_to(a2, bm, 0), bk, 1)
+    wp = _pad_to(_pad_to(w_q, bk, 0), bn, 1)
+    arow_p = _pad_to(arow, bm, 0)
+    Mp, Kp = ap.shape
+    Np = wp.shape[1]
+    nk = Kp // bk
+
+    out = pl.pallas_call(
+        functools.partial(
+            _w8mm_kernel, nk=nk, zw=float(w_zero), sw=float(w_scale),
+            precision=precision,
+        ),
+        grid=(Mp // bm, Np // bn, nk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Np * Kp,
+            bytes_accessed=Mp * Kp * a.dtype.itemsize + Kp * Np + Mp * Np * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(ap, wp, arow_p)
+    out = out[:M, :N]
+    return out.reshape(orig_shape[:-1] + (N,))
+
+
 def quantize_activation(x: jax.Array, scale: float, zero: int) -> jax.Array:
     """float -> u8 with the runtime's quantize math (onnxstream.cpp:3247)."""
     return jnp.clip(jnp.round(x / scale) + zero, 0, 255).astype(jnp.uint8)

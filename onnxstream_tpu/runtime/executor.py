@@ -451,10 +451,46 @@ class Executor:
         res.extend(outs[len(res):])
         return res
 
+    def _w8_weight(self, op: OpNode) -> Optional[WeightArg]:
+        """Weight-only-quantized MatMul selector: uint8 2-D weight WITHOUT a
+        calibrated range (the reference dequantizes such weights on load,
+        src/onnxstream.cpp:2885-2909; here the dequant fuses into the MXU
+        K-loop so the float copy never exists — kernels/qmatmul.w8_matmul)."""
+        if not (
+            self.config.use_w8_matmul
+            and op.op_type == "MatMul"
+            and len(op.inputs) == 2
+            and op.inputs[1].is_weight
+            and op.inputs[1].name
+            and op.inputs[1].name not in self.plan.static_weights
+        ):
+            return None
+        if self.config.requires_upcast is not None and self.config.requires_upcast(op.op_type, op.name):
+            return None
+        w = next((w for w in self.plan.arg_weights if w.name == op.inputs[1].name), None)
+        if w is None or w.quant is None or len(w.shape) != 2:
+            return None
+        return w
+
     def _eval_op(self, op: OpNode, env: Dict[str, Any], weights_env: Dict[str, Any]):
         qmode = self._qlinear_mode(op)
         if qmode is not None:
             return self._eval_qlinear(qmode, op, env, weights_env)
+        w8 = self._w8_weight(op)
+        if w8 is not None:
+            from onnxstream_tpu.kernels.qmatmul import w8_matmul
+
+            cdt = self.config.np_compute_dtype
+            aname = op.inputs[0].name
+            a = jnp.asarray(self.plan.static_env.get(aname, env.get(aname)))
+            if _is_float_dtype(a.dtype) and a.dtype != cdt:
+                a = a.astype(cdt)
+            scale, zp = w8.quant
+            out = w8_matmul(
+                a, weights_env[w8.name], scale, zp, out_dtype=cdt,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return [out]
         impl = get_impl(op.op_type)
         cdt = self.config.np_compute_dtype
         ins: List[Any] = []

@@ -53,6 +53,76 @@ def test_quantize_activation_roundtrip():
     assert np.abs(deq - x).max() <= scale / 2 + 1e-6
 
 
+@pytest.mark.parametrize("shape,dtype", [((1, 96, 256), np.float32), ((200, 128, 64), np.float32), ((2, 7, 100, 48), "bfloat16")])
+def test_w8_matmul_matches_dequant_oracle(shape, dtype):
+    """Weight-only kernel == dequantize-then-dot, to float rounding."""
+    import jax.numpy as jnp
+
+    from onnxstream_tpu.kernels.qmatmul import w8_matmul
+
+    *lead, K, N = shape
+    rng = np.random.RandomState(7)
+    a = rng.randn(*lead, K).astype(np.float32)
+    w = rng.randint(0, 256, (K, N)).astype(np.uint8)
+    sw, zw = 0.013, 117
+    y = np.asarray(
+        w8_matmul(jnp.asarray(a, dtype), jnp.asarray(w), sw, zw, interpret=True),
+        np.float32,
+    )
+    ref = a.astype(np.float64) @ ((w.astype(np.float64) - zw) * sw)
+    tol = 5e-2 if dtype == "bfloat16" else 1e-4
+    assert y.shape == ref.shape
+    assert np.abs(y - ref).max() / (np.abs(ref).max() + 1e-9) < tol
+
+
+def test_session_w8_matmul_on_off_parity():
+    """The executor's weight-only dispatch (use_w8_matmul) must agree with
+    the generic dequantize-on-load path it replaces."""
+    from onnxstream_tpu.runtime.config import SessionConfig
+    from onnxstream_tpu.runtime.quantization import quantize_weight_percentile
+    from onnxstream_tpu.runtime.session import Session
+    from onnxstream_tpu.runtime.weights import DictWeightsProvider
+
+    rng = np.random.RandomState(11)
+    wf = rng.randn(96, 40).astype(np.float32)
+    x = rng.randn(3, 5, 96).astype(np.float32)
+    wq, scale, zero = quantize_weight_percentile(wf)
+    model = f"mm:MatMul*input:x(3,5,96);w.bin(uint8[{scale},{zero}]:96,40)*output:y(3,5,40)\n"
+
+    outs = {}
+    for flag in (True, False):
+        s = Session(
+            config=SessionConfig(use_w8_matmul=flag),
+            weights_provider=DictWeightsProvider({"w.bin": wq}),
+        )
+        s.read_string(model)
+        s.add_tensor("x", x)
+        outs[flag] = np.asarray(s.run()["y"], np.float32)
+    np.testing.assert_allclose(outs[True], outs[False], rtol=1e-4, atol=1e-4)
+    ref = x @ ((wf if False else ((wq.astype(np.float32) - zero) * scale)))
+    np.testing.assert_allclose(outs[True], ref, rtol=1e-3, atol=1e-3)
+
+
+def test_llm_pipeline_int8_weights_decode():
+    """int8_weights: generation runs through the w8 kernel and stays close to
+    the float pipeline on a tiny model."""
+    from onnxstream_tpu.models.llm.llama import LLAMA_TINY
+    from onnxstream_tpu.models.llm.pipeline import LlamaPipeline
+
+    prompt = list(range(5, 15))
+    pf = LlamaPipeline(LLAMA_TINY, seed=3)
+    ref_tok = pf.generate(prompt, max_new_tokens=8)
+    pq = LlamaPipeline(LLAMA_TINY, seed=3, int8_weights=True)
+    q_tok = pq.generate(prompt, max_new_tokens=8)
+    # u8 sessions really carry quantized weights
+    sess = next(iter(pq._sessions.values()))
+    assert sess.config.force_uint8_storage_set
+    # same greedy path on a well-conditioned tiny model (weights ~N(0, .02));
+    # allow divergence only at the tail if logits are near-ties
+    agree = sum(a == b for a, b in zip(ref_tok, q_tok))
+    assert agree >= len(ref_tok) - 2, (ref_tok, q_tok)
+
+
 def test_session_w8a8_matmul_matches_float():
     """Runtime wiring: a calibrated W8A8 MatMul approximates the float run."""
     from onnxstream_tpu.runtime.config import SessionConfig
