@@ -156,7 +156,7 @@ def qmatmul(
     return out.reshape(orig_shape[:-1] + (N,))
 
 
-def _w8mm_kernel(a_ref, w_ref, arow_ref, o_ref, acc_scr, *,
+def _w8mm_kernel(a_ref, w_ref, arow_ref, sz_ref, o_ref, acc_scr, *,
                  nk: int, zw: float, sw: float, precision):
     kstep = pl.program_id(2)
 
@@ -175,8 +175,12 @@ def _w8mm_kernel(a_ref, w_ref, arow_ref, o_ref, acc_scr, *,
 
     @pl.when(kstep == nk - 1)
     def _finish():
-        # sum_k a[i,k] * (w[k,j] - zw) * sw  ==  sw*acc - sw*zw*rowsum(a)
-        o_ref[...] = ((acc_scr[...] - zw * arow_ref[...]) * sw).astype(o_ref.dtype)
+        # sum_k a[i,k] * (w[k,j] - zw_j) * sw_j == sw_j*(acc_ij - zw_j*rowsum(a)_i)
+        if sz_ref is not None:  # per-channel: sz (2, bn) = [scale; zero]
+            sw_v, zw_v = sz_ref[0:1, :], sz_ref[1:2, :]
+            o_ref[...] = ((acc_scr[...] - zw_v * arow_ref[...]) * sw_v).astype(o_ref.dtype)
+        else:
+            o_ref[...] = ((acc_scr[...] - zw * arow_ref[...]) * sw).astype(o_ref.dtype)
 
 
 def w8_matmul(
@@ -203,6 +207,10 @@ def w8_matmul(
     Dequantization here is EXACT (u8 values are exact in the MXU input dtype;
     the zero-point/scale correction applies in the fp32 epilogue), slightly
     better than the dequantize-to-bf16-then-dot path it replaces.
+
+    `w_scale`/`w_zero` may be scalars (per-tensor, the reference's scheme) or
+    (N,) vectors (per-output-channel, beyond-reference — the quality mode for
+    real LLM checkpoints).
     """
     orig_shape = a.shape
     K = orig_shape[-1]
@@ -211,6 +219,7 @@ def w8_matmul(
     M = a2.shape[0]
     out_dtype = out_dtype or a.dtype
     precision = jax.lax.Precision.HIGHEST if a.dtype == jnp.float32 else None
+    per_channel = np.ndim(w_scale) > 0 or np.ndim(w_zero) > 0
 
     arow = jnp.sum(a2.astype(jnp.float32), axis=1, keepdims=True)  # (M, 1)
 
@@ -224,17 +233,32 @@ def w8_matmul(
     Np = wp.shape[1]
     nk = Kp // bk
 
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+        pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+        pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0)),
+    ]
+    args = [ap, wp, arow_p]
+    if per_channel:
+        sz = jnp.stack([
+            jnp.broadcast_to(jnp.asarray(w_scale, jnp.float32), (N,)),
+            jnp.broadcast_to(jnp.asarray(w_zero, jnp.float32), (N,)),
+        ])  # (2, N)
+        in_specs.append(pl.BlockSpec((2, bn), lambda i, j, k: (0, j)))
+        args.append(_pad_to(sz, bn, 1))
+        kernel = functools.partial(
+            _w8mm_kernel, nk=nk, zw=0.0, sw=0.0, precision=precision,
+        )
+    else:
+        kernel = functools.partial(
+            lambda a_, w_, r_, o, acc, **kw: _w8mm_kernel(a_, w_, r_, None, o, acc, **kw),
+            nk=nk, zw=float(w_zero), sw=float(w_scale), precision=precision,
+        )
+
     out = pl.pallas_call(
-        functools.partial(
-            _w8mm_kernel, nk=nk, zw=float(w_zero), sw=float(w_scale),
-            precision=precision,
-        ),
+        kernel,
         grid=(Mp // bm, Np // bn, nk),
-        in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
-            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
-            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
@@ -247,7 +271,7 @@ def w8_matmul(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(ap, wp, arow_p)
+    )(*args)
     out = out[:M, :N]
     return out.reshape(orig_shape[:-1] + (N,))
 

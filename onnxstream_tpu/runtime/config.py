@@ -23,6 +23,10 @@ class SessionConfig:
     force_fp16_storage: bool = False  # demote resident fp32 weights (onnxstream.cpp:3764)
     force_uint8_storage_set: Set[str] = dataclasses.field(default_factory=set)
     use_uint8_qdq: bool = False  # quantize pushed intermediates (onnxstream.cpp:3022)
+    # per-output-channel (scale, zp) when force-quantizing 2-D weights —
+    # beyond-reference quality mode (the reference quantizes per tensor);
+    # consumed by the w8_matmul kernel's per-channel epilogue
+    uint8_per_channel: bool = False
     use_uint8_arithmetic: bool = False  # W8A8 ops (Pallas path)
     fuse_ops_in_attention: bool = True  # AttentionFusedOps recognizer (onnxstream.cpp:3576)
     attention_fused_ops_parts: int = 2  # accepted for parity; blockwise flash makes it moot

@@ -43,7 +43,12 @@ from onnxstream_tpu.ir import Graph, OpNode
 from onnxstream_tpu.ops import Ctx, get_impl
 from onnxstream_tpu.runtime.config import SessionConfig
 from onnxstream_tpu.runtime.planner import Plan, WeightArg
-from onnxstream_tpu.runtime.quantization import RangeData, quantize_weight_percentile, range_to_scale
+from onnxstream_tpu.runtime.quantization import (
+    RangeData,
+    quantize_weight_percentile,
+    quantize_weight_percentile_per_channel,
+    range_to_scale,
+)
 from onnxstream_tpu.runtime.weights import WeightsProvider
 
 
@@ -228,7 +233,11 @@ class Executor:
             and w.file_dtype.is_float
             and arr.dtype != np.uint8
         ):
-            qarr, scale, zero = quantize_weight_percentile(np.asarray(arr, np.float32))
+            a32 = np.asarray(arr, np.float32)
+            if self.config.uint8_per_channel and a32.ndim == 2:
+                qarr, scale, zero = quantize_weight_percentile_per_channel(a32)
+            else:
+                qarr, scale, zero = quantize_weight_percentile(a32)
             w.quant = (scale, zero)
             return qarr
         return arr

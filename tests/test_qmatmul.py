@@ -75,6 +75,45 @@ def test_w8_matmul_matches_dequant_oracle(shape, dtype):
     assert np.abs(y - ref).max() / (np.abs(ref).max() + 1e-9) < tol
 
 
+def test_w8_matmul_per_channel_matches_oracle():
+    import jax.numpy as jnp
+
+    from onnxstream_tpu.kernels.qmatmul import w8_matmul
+
+    rng = np.random.RandomState(9)
+    K, N = 160, 72
+    a = rng.randn(6, K).astype(np.float32)
+    w = rng.randint(0, 256, (K, N)).astype(np.uint8)
+    sw = rng.uniform(0.001, 0.05, N).astype(np.float32)
+    zw = rng.randint(0, 256, N).astype(np.float32)
+    y = np.asarray(w8_matmul(jnp.asarray(a), jnp.asarray(w), sw, zw, interpret=True))
+    ref = a.astype(np.float64) @ ((w.astype(np.float64) - zw) * sw)
+    assert np.abs(y - ref).max() / (np.abs(ref).max() + 1e-9) < 1e-4
+
+
+def test_per_channel_quantization_beats_per_tensor():
+    """Columns with wildly different magnitudes: per-channel round-trip error
+    must be much smaller; scalar path must match get_percentiles exactly."""
+    from onnxstream_tpu.runtime.quantization import (
+        dequantize,
+        quantize_weight_percentile,
+        quantize_weight_percentile_per_channel,
+    )
+
+    rng = np.random.RandomState(4)
+    w = rng.randn(512, 16).astype(np.float32) * np.logspace(-2, 1, 16, dtype=np.float32)
+    qt, s_t, z_t = quantize_weight_percentile(w)
+    qc, s_c, z_c = quantize_weight_percentile_per_channel(w)
+    err_t = np.abs(dequantize(qt, s_t, z_t) - w).mean()
+    err_c = np.abs((qc.astype(np.float32) - z_c) * s_c - w).mean()
+    assert err_c < err_t / 3, (err_c, err_t)
+    # each column's params equal the scalar function applied to that column
+    for j in (0, 7, 15):
+        qj, sj, zj = quantize_weight_percentile(w[:, j])
+        assert np.isclose(s_c[j], sj) and z_c[j] == zj
+        np.testing.assert_array_equal(qc[:, j], qj)
+
+
 def test_session_w8_matmul_on_off_parity():
     """The executor's weight-only dispatch (use_w8_matmul) must agree with
     the generic dequantize-on-load path it replaces."""
@@ -104,23 +143,31 @@ def test_session_w8_matmul_on_off_parity():
 
 
 def test_llm_pipeline_int8_weights_decode():
-    """int8_weights: generation runs through the w8 kernel and stays close to
-    the float pipeline on a tiny model."""
+    """int8_weights: prefill AND decode graphs run through the w8 kernel and
+    their logits stay close to the float pipeline. (Greedy tokens are NOT
+    compared: the synthetic random-weight model has near-tie logits — the
+    float top-2 margin is smaller than any quantization error, so token
+    agreement would be a coin flip, not a correctness signal.)"""
+    import numpy as np
+
     from onnxstream_tpu.models.llm.llama import LLAMA_TINY
     from onnxstream_tpu.models.llm.pipeline import LlamaPipeline
 
     prompt = list(range(5, 15))
-    pf = LlamaPipeline(LLAMA_TINY, seed=3)
-    ref_tok = pf.generate(prompt, max_new_tokens=8)
-    pq = LlamaPipeline(LLAMA_TINY, seed=3, int8_weights=True)
-    q_tok = pq.generate(prompt, max_new_tokens=8)
-    # u8 sessions really carry quantized weights
-    sess = next(iter(pq._sessions.values()))
-    assert sess.config.force_uint8_storage_set
-    # same greedy path on a well-conditioned tiny model (weights ~N(0, .02));
-    # allow divergence only at the tail if logits are near-ties
-    agree = sum(a == b for a, b in zip(ref_tok, q_tok))
-    assert agree >= len(ref_tok) - 2, (ref_tok, q_tok)
+    logits = {}
+    for mode in ("float", "int8"):
+        p = LlamaPipeline(LLAMA_TINY, seed=3, int8_weights=(mode == "int8"))
+        _, l1 = p.forward(prompt)
+        _, l2 = p.forward([118])  # same fed token: isolates logit error
+        logits[mode] = (np.asarray(l1, np.float32), np.asarray(l2, np.float32))
+        if mode == "int8":
+            # u8 weights really are u8 in every session's plan
+            for sess in p._sessions.values():
+                ex = sess._executor()
+                assert sum(1 for w in ex.plan.arg_weights if w.quant is not None) > 0
+    for lf, lq in zip(logits["float"], logits["int8"]):
+        rel = np.abs(lq - lf).max() / (np.abs(lf).max() + 1e-9)
+        assert rel < 0.05, rel
 
 
 def test_session_w8a8_matmul_matches_float():

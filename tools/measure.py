@@ -82,13 +82,14 @@ def measure_sdxl() -> None:
     )
 
 
-def _measure_llm(cfg_name: str) -> None:
+def _measure_llm(cfg_name: str, int8: bool = False) -> None:
     from onnxstream_tpu.models.llm.llama import TINYLLAMA, MISTRAL, param_count
     from onnxstream_tpu.models.llm.pipeline import LlamaPipeline
 
     from onnxstream_tpu.models.llm.llama import LLAMA_TINY
-    cfg = {"tinyllama": TINYLLAMA, "mistral": MISTRAL}[cfg_name] if not TINY else LLAMA_TINY
-    pipe = LlamaPipeline(cfg, compute_dtype="bfloat16")
+    base = cfg_name[:-5] if cfg_name.endswith("-int8") else cfg_name
+    cfg = {"tinyllama": TINYLLAMA, "mistral": MISTRAL}[base] if not TINY else LLAMA_TINY
+    pipe = LlamaPipeline(cfg, compute_dtype="bfloat16", int8_weights=int8)
     prompt_ids = list(range(200, 232))  # 32-token synthetic prompt
     n = 128
     # warm with the identical call so every (L, past-bucket) graph the timed
@@ -121,10 +122,9 @@ def main() -> None:
         measure_sd15()
     if "sdxl" in sel:
         measure_sdxl()
-    if "tinyllama" in sel:
-        _measure_llm("tinyllama")
-    if "mistral" in sel:
-        _measure_llm("mistral")
+    for name in ("tinyllama", "tinyllama-int8", "mistral", "mistral-int8"):
+        if name in sel:
+            _measure_llm(name, int8=name.endswith("-int8"))
 
 
 if __name__ == "__main__":
