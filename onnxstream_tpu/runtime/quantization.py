@@ -107,7 +107,14 @@ def quantize_weight_percentile_per_channel(
     degenerate = scales <= 0.0
     scales = np.where(degenerate, np.where(np.abs(hi) > 0, np.abs(hi), 1.0), scales)
     zeros = np.where(degenerate, 0.0, np.clip(np.round(np.abs(lo) / scales), 0, 255))
-    q = np.clip(np.rint(a / scales + zeros), 0, 255).astype(np.uint8)
+    # in-place float64 reciprocal-multiply: exactly a/scales to f32 precision
+    # (the broadcast f32 division was the hot spot when quantizing a whole
+    # LLM's matmul weights at session setup — see docs/tpu_notes.md)
+    q64 = a * (1.0 / scales.astype(np.float64))
+    q64 += zeros
+    np.rint(q64, out=q64)
+    np.clip(q64, 0, 255, out=q64)
+    q = q64.astype(np.uint8)
     return q, scales.astype(np.float32), zeros.astype(np.float32)
 
 
