@@ -216,3 +216,29 @@ def test_generate_on_device_multichunk_matches_host():
         # KV rewind after truncation keeps later turns consistent
         assert dp.generate_on_device([5, 9], max_new_tokens=4) == hp.generate(
             [5, 9], max_new_tokens=4)
+
+
+def test_int8_weights_logits_close_and_quantized():
+    """int8_weights mode: every 2-D MatMul weight is percentile-quantized
+    per-channel and consumed by the w8_matmul kernel; logits must stay close
+    to the bf16-resident pipeline (weight-only quantization, compute dtype
+    unchanged)."""
+    seq = [3, 17, 99, 5, 2, 11]
+    pf = LlamaPipeline(LLAMA_TINY, compute_dtype="bfloat16", buckets=[16, 32])
+    _, lf = pf.forward(seq)
+    p8 = LlamaPipeline(LLAMA_TINY, compute_dtype="bfloat16", buckets=[16, 32],
+                       int8_weights=True)
+    _, l8 = p8.forward(seq)
+
+    lf = np.asarray(lf, np.float32)
+    l8 = np.asarray(l8, np.float32)
+    nrms = np.linalg.norm(l8 - lf) / max(np.linalg.norm(lf), 1e-9)
+    assert nrms < 0.15, f"int8 logits drifted: nrms={nrms:.4f}"
+
+    # the force set must actually cover the matmul weights, and the uploads
+    # must carry quant params (u8 on the wire, dequant fused in-kernel)
+    s = p8._sessions[next(iter(p8._sessions))]
+    assert s.config.force_uint8_storage_set
+    ex = s._executor()
+    quantized = [w for w in ex.plan.arg_weights if w.quant is not None]
+    assert len(quantized) >= len(s.config.force_uint8_storage_set)
