@@ -77,9 +77,21 @@ class SessionConfig:
     # weight-only Pallas kernel (kernels/qmatmul.w8_matmul): the u8 blocks
     # dequantize in VMEM inside the K loop, so HBM sees 1 byte/weight and no
     # float copy of the weight ever materializes. This is the TPU-native form
-    # of the reference's dequantize-on-load (src/onnxstream.cpp:2885-2909)
-    # and makes bandwidth-bound LLM decode ~2x faster than bf16 residency.
+    # of the reference's dequantize-on-load (src/onnxstream.cpp:2885-2909).
+    # NOTE: at batch-1 decode the in-loop VPU dequant costs more than the
+    # halved HBM reads save (measured TinyLlama: 230 tok/s vs 290 bf16); the
+    # fast int8 decode path is int8_symmetric_storage + use_w8a8_dyn_matmul.
     use_w8_matmul: bool = True
+    # store force-quantized 2-D weights as SYMMETRIC per-channel int8
+    # (zero point 0) instead of asymmetric uint8, enabling the MXU-native
+    # s8 x s8 -> s32 matmul below
+    int8_symmetric_storage: bool = False
+    # run MatMuls whose weight is symmetric s8 through the dynamic-activation
+    # int8 kernel (kernels/qmatmul.w8a8_dyn_matmul): activations quantize
+    # per-row to s8 on the fly and the dot runs in the MXU's native int8
+    # mode — no per-element weight conversion at all, so bandwidth-bound
+    # decode pays exactly half the bf16 HBM traffic
+    use_w8a8_dyn_matmul: bool = True
     hbm_budget_bytes: int = 0  # 0 = single segment (no weight streaming cap)
     donate_weights: bool = True  # donate streamed weight buffers to the computation
     strict_shapes: bool = True  # enforce model.txt declared shapes (check_output_shape)

@@ -118,6 +118,32 @@ def quantize_weight_percentile_per_channel(
     return q, scales.astype(np.float32), zeros.astype(np.float32)
 
 
+def quantize_weight_symmetric_per_channel(
+    arr: np.ndarray, axis: int = -1
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-output-channel int8 quantization of a 2-D weight:
+    scale[j] = (99.9th percentile of |col j|) / 127, zero point 0. This is
+    the storage form for the MXU-native s8 x s8 decode matmul
+    (kernels/qmatmul.w8a8_dyn_matmul) — no zero-point correction term, so the
+    integer dot needs no epilogue beyond the (row x col) scales. Returns
+    (s8 weight, scale (N,) f32)."""
+    a = np.asarray(arr, np.float32)
+    if a.ndim != 2:
+        raise ValueError(f"per-channel quantization expects 2-D, got {a.shape}")
+    if axis in (0, -2):
+        qt, s = quantize_weight_symmetric_per_channel(a.T, axis=-1)
+        return qt.T, s
+    k, n = a.shape
+    k_hi = max(k - 1 - int(k * 0.001), 0)
+    amax = np.partition(np.abs(a), k_hi, axis=0)[k_hi]
+    scales = amax / 127.0
+    scales = np.where(scales <= 0.0, 1.0, scales)
+    q64 = a * (1.0 / scales.astype(np.float64))
+    np.rint(q64, out=q64)
+    np.clip(q64, -127, 127, out=q64)
+    return q64.astype(np.int8), scales.astype(np.float32)
+
+
 class RangeData:
     """Calibration ranges per op name, with the reference's CSV persistence."""
 
