@@ -156,6 +156,13 @@ def main() -> None:
         streamed_child()
         return
 
+    # One strict wall budget for the WHOLE bench process (headline + optional
+    # children). The headline JSON is printed the moment the resident
+    # measurement finishes — round 2 shipped rc=124/parsed:null because the
+    # old structure printed nothing until two 1800 s children returned.
+    t_start = time.time()
+    total_budget_s = float(os.environ.get("OSTPU_BENCH_TOTAL_S", "540"))
+
     t_setup = time.time()
     import jax
 
@@ -192,6 +199,27 @@ def main() -> None:
     stats = s.hbm_stats()
     peak_hbm_mb = round(stats.get("peak_bytes_in_use", 0) / (1 << 20), 1)
 
+    result = {
+        "metric": "sd15_unet_step_ms",
+        "value": round(dt_ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_UNET_MS / dt_ms, 1),
+        "peak_hbm_mb": peak_hbm_mb,
+    }
+    # GUARANTEED headline emission: this line is the driver-captured result
+    # even if every optional child below is skipped or killed.
+    print(json.dumps(result), flush=True)
+    print(
+        f"# setup {setup_s:.0f}s, params {param_count(g)/1e6:.0f}M, ops {len(g.ops)}, "
+        f"backend {jax.default_backend()}, out max|x|={float(np.abs(out_probe).max()):.3f}",
+        file=sys.stderr,
+        flush=True,
+    )
+    s.close()
+
+    def _remaining() -> float:
+        return total_budget_s - (time.time() - t_start)
+
     def _child(argv, timeout):
         """Run a measurement subprocess, return its first JSON stdout line."""
         try:
@@ -203,30 +231,35 @@ def main() -> None:
                 if line.startswith("{"):
                     return json.loads(line)
             return {"error": (proc.stderr or "no output")[-400:]}
+        except subprocess.TimeoutExpired:
+            return {"skipped": f"timeout after {int(timeout)}s"}
         except Exception as e:  # keep the headline metric even if a child dies
             return {"error": str(e)[:400]}
 
     here = os.path.dirname(os.path.abspath(__file__))
-    # streamed measurement in a clean-link subprocess (see module docstring)
-    streamed = _child([os.path.join(here, "bench.py"), "--streamed-child"], 1800)
-    # BASELINE.md north star also names TinyLlama tokens/sec
-    llm = _child([os.path.join(here, "tools", "measure.py"), "tinyllama"], 1800)
+    # Optional enrichment children, each individually skippable, sharing the
+    # remaining budget. Order by north-star value: TinyLlama tok/s first
+    # (BASELINE.md names it), then the streamed measurement (link-bound on
+    # this tunnel, so it goes last and absorbs whatever budget is left).
+    if _remaining() > 120:
+        llm = _child(
+            [os.path.join(here, "tools", "measure.py"), "tinyllama"],
+            max(60.0, _remaining() * 0.55),
+        )
+    else:
+        llm = {"skipped": "budget"}
+    if _remaining() > 120:
+        streamed = _child(
+            [os.path.join(here, "bench.py"), "--streamed-child"],
+            max(60.0, _remaining() - 15.0),
+        )
+    else:
+        streamed = {"skipped": "budget"}
 
-    result = {
-        "metric": "sd15_unet_step_ms",
-        "value": round(dt_ms, 2),
-        "unit": "ms",
-        "vs_baseline": round(BASELINE_UNET_MS / dt_ms, 1),
-        "peak_hbm_mb": peak_hbm_mb,
-        "streamed": streamed,
-        "tinyllama": llm,
-    }
-    print(json.dumps(result))
-    print(
-        f"# setup {setup_s:.0f}s, params {param_count(g)/1e6:.0f}M, ops {len(g.ops)}, "
-        f"backend {jax.default_backend()}, out max|x|={float(np.abs(out_probe).max()):.3f}",
-        file=sys.stderr,
-    )
+    # Enriched re-print: same headline keys plus the children, so a driver
+    # parsing either the first or the last JSON line gets a valid result.
+    result.update(tinyllama=llm, streamed=streamed)
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
