@@ -144,6 +144,8 @@ class SessionConfig:
             "use_flash_attention": lambda v: setattr(self, "use_flash_attention", v),
             "fuse_attention_heads": lambda v: setattr(self, "fuse_attention_heads", v),
             "use_w8_matmul": lambda v: setattr(self, "use_w8_matmul", v),
+            "int8_symmetric_storage": lambda v: setattr(self, "int8_symmetric_storage", v),
+            "use_w8a8_dyn_matmul": lambda v: setattr(self, "use_w8a8_dyn_matmul", v),
         }
         if name not in mapping:
             raise ValueError(f"unknown option {name!r}")

@@ -47,6 +47,7 @@ from onnxstream_tpu.runtime.quantization import (
     RangeData,
     quantize_weight_percentile,
     quantize_weight_percentile_per_channel,
+    quantize_weight_symmetric_per_channel,
     range_to_scale,
 )
 from onnxstream_tpu.runtime.weights import WeightsProvider
@@ -210,10 +211,18 @@ class Executor:
         return jax.devices()[0]
 
     def _seg_device(self, si: int):
-        """Pipeline-parallel placement: segment si's stage device."""
+        """Pipeline-parallel placement: segment si's stage device.
+
+        Segments are assigned to stages in CONTIGUOUS blocks (stage =
+        si * n_stages // n_segments), so a linear graph's boundary
+        activations hop devices exactly n_stages - 1 times — round-robin
+        placement would hop on every segment boundary and interleave each
+        stage's resident weights."""
         pp = self.config.pp_devices
         if pp:
-            return pp[si % len(pp)]
+            n_seg = max(len(self.segments), 1)
+            stage = min(si * len(pp) // n_seg, len(pp) - 1)
+            return pp[stage]
         return self._device
 
     def _resolve_static(self, name: str):
@@ -231,9 +240,15 @@ class Executor:
         if (
             w.name in self.config.force_uint8_storage_set
             and w.file_dtype.is_float
-            and arr.dtype != np.uint8
+            and arr.dtype not in (np.dtype(np.uint8), np.dtype(np.int8))
         ):
             a32 = np.asarray(arr, np.float32)
+            if w.symmetric:
+                # symmetric per-channel s8: the storage form of the dynamic
+                # int8 decode matmul (zero point 0 by construction)
+                qarr, scale = quantize_weight_symmetric_per_channel(a32)
+                w.quant = (scale, 0.0)
+                return qarr
             if self.config.uint8_per_channel and a32.ndim == 2:
                 qarr, scale, zero = quantize_weight_percentile_per_channel(a32)
             else:
@@ -289,11 +304,12 @@ class Executor:
             hit = (self._device_weight_cache.get(key) if key is not None
                    else self._private_weight_cache.get(w.name))
             if hit is not None:
-                dev, quant = hit
+                dev, quant, symmetric = hit
                 # a shared hit must carry its quantization params to THIS
                 # executor's WeightArg (force_uint8 placeholder fill-in)
                 if quant is not None:
                     w.quant = quant
+                    w.symmetric = symmetric
                 out.append(dev)
                 continue
             arr = self.provider.get(w.name, w.file_dtype, w.shape)
@@ -309,9 +325,9 @@ class Executor:
                 # resident weights: no streaming budget, or pp stages own
                 # their segment's weights permanently
                 if key is not None:
-                    self._device_weight_cache[key] = (dev, w.quant)
+                    self._device_weight_cache[key] = (dev, w.quant, w.symmetric)
                 else:
-                    self._private_weight_cache[w.name] = (dev, w.quant)
+                    self._private_weight_cache[w.name] = (dev, w.quant, w.symmetric)
                 # release the host copy through the provider (reference
                 # exclusion-set + WeightsProvider::remove once a packed
                 # operator owns the weight, src/onnxstream.cpp:4561-4567,
@@ -477,7 +493,30 @@ class Executor:
         if self.config.requires_upcast is not None and self.config.requires_upcast(op.op_type, op.name):
             return None
         w = next((w for w in self.plan.arg_weights if w.name == op.inputs[1].name), None)
-        if w is None or w.quant is None or len(w.shape) != 2:
+        if w is None or w.quant is None or len(w.shape) != 2 or w.symmetric:
+            return None
+        return w
+
+    def _dyn_s8_weight(self, op: OpNode) -> Optional[WeightArg]:
+        """Dynamic-activation int8 MatMul selector: symmetric per-channel s8
+        weight (int8_symmetric_storage) + use_w8a8_dyn_matmul. Activations
+        quantize per-row to s8 on the fly and the dot runs in the MXU's
+        native s8 x s8 -> s32 mode (kernels/qmatmul.w8a8_dyn_matmul) — the
+        TPU-native form of the reference's weight-storage discipline
+        (src/onnxstream.cpp:2885-2909) for bandwidth-bound decode."""
+        if not (
+            self.config.use_w8a8_dyn_matmul
+            and op.op_type == "MatMul"
+            and len(op.inputs) == 2
+            and op.inputs[1].is_weight
+            and op.inputs[1].name
+            and op.inputs[1].name not in self.plan.static_weights
+        ):
+            return None
+        if self.config.requires_upcast is not None and self.config.requires_upcast(op.op_type, op.name):
+            return None
+        w = next((w for w in self.plan.arg_weights if w.name == op.inputs[1].name), None)
+        if w is None or not w.symmetric or w.quant is None or len(w.shape) != 2:
             return None
         return w
 
@@ -485,6 +524,21 @@ class Executor:
         qmode = self._qlinear_mode(op)
         if qmode is not None:
             return self._eval_qlinear(qmode, op, env, weights_env)
+        s8 = self._dyn_s8_weight(op)
+        if s8 is not None:
+            from onnxstream_tpu.kernels.qmatmul import w8a8_dyn_matmul
+
+            cdt = self.config.np_compute_dtype
+            aname = op.inputs[0].name
+            a = jnp.asarray(self.plan.static_env.get(aname, env.get(aname)))
+            if _is_float_dtype(a.dtype) and a.dtype != cdt:
+                a = a.astype(cdt)
+            scale, _zero = s8.quant
+            out = w8a8_dyn_matmul(
+                a, weights_env[s8.name], scale, out_dtype=cdt,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return [out]
         w8 = self._w8_weight(op)
         if w8 is not None:
             from onnxstream_tpu.kernels.qmatmul import w8_matmul

@@ -50,6 +50,9 @@ class WeightArg:
     upload_dtype: Any  # np dtype for the device argument
     shape: Tuple[int, ...]
     quant: Optional[Tuple[float, int]] = None  # (scale, zero_point) if uint8
+    # symmetric per-channel s8 storage (zero point 0, scale (N,) vector):
+    # the operand form of the dynamic int8 decode matmul
+    symmetric: bool = False
 
 
 @dataclasses.dataclass
@@ -90,6 +93,11 @@ def _upload_dtype(spec: TensorSpec, config: SessionConfig):
     if spec.dtype == DType.uint8:
         return np.dtype(np.uint8)
     if spec.name in config.force_uint8_storage_set and spec.dtype.is_float:
+        if config.int8_symmetric_storage and len(spec.shape) == 2:
+            # symmetric per-channel s8 residency: the storage form for the
+            # MXU-native s8 x s8 dynamic-activation matmul
+            # (kernels/qmatmul.w8a8_dyn_matmul)
+            return np.dtype(np.int8)
         # forced uint8 residency (reference force_uint8_storage demotion,
         # src/onnxstream.cpp:3764-3808): quantized at first fetch, dequantized
         # on device read
@@ -168,14 +176,17 @@ class _Planner:
         w = self._arg_set.get(spec.name)
         if w is None:
             quant = (spec.scale, spec.zero_point) if spec.dtype == DType.uint8 else None
+            symmetric = False
             if quant is None and spec.name in self.config.force_uint8_storage_set and spec.dtype.is_float:
                 quant = (0.0, 0)  # placeholder; real scale/zp set at first fetch
+                symmetric = self.config.int8_symmetric_storage and len(spec.shape) == 2
             w = WeightArg(
                 name=spec.name,
                 file_dtype=spec.dtype,
                 upload_dtype=_upload_dtype(spec, self.config),
                 shape=spec.shape,
                 quant=quant,
+                symmetric=symmetric,
             )
             self._arg_set[spec.name] = w
             self.arg_weights.append(w)

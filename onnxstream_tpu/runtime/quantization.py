@@ -107,14 +107,16 @@ def quantize_weight_percentile_per_channel(
     degenerate = scales <= 0.0
     scales = np.where(degenerate, np.where(np.abs(hi) > 0, np.abs(hi), 1.0), scales)
     zeros = np.where(degenerate, 0.0, np.clip(np.round(np.abs(lo) / scales), 0, 255))
-    # in-place float64 reciprocal-multiply: exactly a/scales to f32 precision
-    # (the broadcast f32 division was the hot spot when quantizing a whole
-    # LLM's matmul weights at session setup — see docs/tpu_notes.md)
-    q64 = a * (1.0 / scales.astype(np.float64))
-    q64 += zeros
-    np.rint(q64, out=q64)
-    np.clip(q64, 0, 255, out=q64)
-    q = q64.astype(np.uint8)
+    # in-place f32 reciprocal-multiply (the broadcast f32 division was the
+    # hot spot when quantizing a whole LLM's matmul weights at session
+    # setup); a*(1/s) can differ from a/s by 1 LSB at exact-half ties, well
+    # under the u8 rounding step, and the f32 temp keeps peak host memory at
+    # 1x the weight size
+    qf = a * (np.float32(1.0) / scales.astype(np.float32))
+    qf += zeros.astype(np.float32)
+    np.rint(qf, out=qf)
+    np.clip(qf, 0, 255, out=qf)
+    q = qf.astype(np.uint8)
     return q, scales.astype(np.float32), zeros.astype(np.float32)
 
 
@@ -138,10 +140,10 @@ def quantize_weight_symmetric_per_channel(
     amax = np.partition(np.abs(a), k_hi, axis=0)[k_hi]
     scales = amax / 127.0
     scales = np.where(scales <= 0.0, 1.0, scales)
-    q64 = a * (1.0 / scales.astype(np.float64))
-    np.rint(q64, out=q64)
-    np.clip(q64, -127, 127, out=q64)
-    return q64.astype(np.int8), scales.astype(np.float32)
+    qf = a * (np.float32(1.0) / scales.astype(np.float32))
+    np.rint(qf, out=qf)
+    np.clip(qf, -127, 127, out=qf)
+    return qf.astype(np.int8), scales.astype(np.float32)
 
 
 class RangeData:

@@ -202,3 +202,116 @@ def test_session_w8a8_matmul_matches_float():
     s2.add_tensor("x", x)
     y2 = np.asarray(s2.run()["y"], np.float32)
     assert np.abs(y2 - ref).max() < 1.5
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-activation s8 x s8 decode path (int8_symmetric_storage +
+# use_w8a8_dyn_matmul)
+
+
+def _dyn_oracle(a, w_s8, w_scale):
+    """NumPy oracle of w8a8_dyn_matmul's exact math: per-row symmetric s8
+    activation quant, exact int32 dot, (row x col) scale epilogue."""
+    a2 = np.asarray(a, np.float32).reshape(-1, a.shape[-1])
+    amax = np.abs(a2).max(axis=1, keepdims=True)
+    sa = np.maximum(amax, 1e-12) / 127.0
+    aq = np.clip(np.round(a2 / sa), -127, 127).astype(np.int32)
+    acc = aq @ np.asarray(w_s8, np.int32)
+    out = acc.astype(np.float32) * sa * np.asarray(w_scale, np.float32).reshape(1, -1)
+    return out.reshape(a.shape[:-1] + (w_s8.shape[-1],))
+
+
+@pytest.mark.parametrize(
+    "shape,per_channel",
+    [
+        ((1, 96, 256), False),   # M=1: the decode shape
+        ((1, 100, 300), True),   # non-pow2 K/N
+        ((40, 200, 96), True),
+        ((2, 7, 100, 48), True),  # 3-D batch
+    ],
+)
+def test_w8a8_dyn_matmul_matches_oracle(shape, per_channel):
+    import jax.numpy as jnp
+
+    from onnxstream_tpu.kernels.qmatmul import w8a8_dyn_matmul
+
+    *lead, M, K, N = (1,) * (3 - len(shape)) + shape if len(shape) == 3 else shape
+    if len(shape) == 3:
+        M, K, N = shape
+        a = np.random.RandomState(0).randn(M, K).astype(np.float32)
+    else:
+        a = np.random.RandomState(0).randn(*shape[:-1]).astype(np.float32)
+        K, N = shape[-2], shape[-1]
+    rng = np.random.RandomState(1)
+    w = rng.randint(-127, 128, (K, N)).astype(np.int8)
+    ws = (rng.rand(N).astype(np.float32) * 0.02 + 0.001) if per_channel else 0.013
+    y = np.asarray(w8a8_dyn_matmul(jnp.asarray(a), jnp.asarray(w), ws, interpret=True))
+    ref = _dyn_oracle(a, w, np.broadcast_to(np.asarray(ws, np.float32), (N,)))
+    assert y.shape == ref.shape
+    rel = np.abs(y - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 2e-5, rel
+
+
+def test_quantize_weight_symmetric_roundtrip():
+    from onnxstream_tpu.runtime.quantization import quantize_weight_symmetric_per_channel
+
+    rng = np.random.RandomState(4)
+    w = rng.randn(256, 48).astype(np.float32) * np.linspace(0.01, 3.0, 48)
+    w[:, 7] = 0.0  # all-zero column: scale must not degenerate
+    q, s = quantize_weight_symmetric_per_channel(w)
+    assert q.dtype == np.int8 and s.shape == (48,)
+    assert (np.abs(q.astype(np.int32)) <= 127).all()
+    deq = q.astype(np.float32) * s
+    # per-column error bound: half an s8 step of that column's scale
+    # (plus the clipped 0.1% tail)
+    col_err = np.abs(deq - w)
+    col_bound = np.maximum(s * 0.51, np.abs(w).max(axis=0) * 0.002 + 1e-6)
+    assert (np.median(col_err, axis=0) <= col_bound).all()
+    assert np.abs(deq[:, 7]).max() == 0.0
+
+    # axis=0 variant quantizes per ROW
+    q0, s0 = quantize_weight_symmetric_per_channel(w, axis=0)
+    assert s0.shape == (256,)
+    deq0 = q0.astype(np.float32) * s0[:, None]
+    assert np.abs(deq0 - w).mean() < np.abs(w).mean() * 0.01 + 1e-4
+
+
+def test_session_dyn_s8_matmul_dispatch_and_parity():
+    """int8_symmetric_storage + use_w8a8_dyn_matmul: the MatMul weight is
+    stored as s8 per-channel and routed through the dynamic kernel; output
+    tracks the float matmul within dynamic-quant noise. With the kernel flag
+    OFF, the same s8 storage falls back to generic dequantization."""
+    from onnxstream_tpu.runtime.config import SessionConfig
+    from onnxstream_tpu.runtime.session import Session
+    from onnxstream_tpu.runtime.weights import DictWeightsProvider
+
+    rng = np.random.RandomState(5)
+    wf = rng.randn(128, 64).astype(np.float32)
+    x = rng.randn(1, 128).astype(np.float32)  # decode shape M=1
+    ref = x @ wf
+    model = "mm:MatMul*input:x(1,128);w.bin(float32:128,64)*output:y(1,64)\n"
+
+    def run(**kw):
+        cfg = SessionConfig(
+            force_uint8_storage_set={"w.bin"},
+            int8_symmetric_storage=True,
+            **kw,
+        )
+        s = Session(config=cfg, weights_provider=DictWeightsProvider({"w.bin": wf.copy()}))
+        s.read_string(model)
+        s.add_tensor("x", x)
+        y = np.asarray(s.run()["y"], np.float32)
+        ex = s._executor()
+        w = next(w for w in ex.plan.arg_weights if w.name == "w.bin")
+        return y, w
+
+    y_on, w_on = run(use_w8a8_dyn_matmul=True)
+    assert w_on.symmetric and np.dtype(w_on.upload_dtype) == np.int8
+    assert np.ndim(w_on.quant[0]) == 1  # per-channel scale vector
+    rel = np.abs(y_on - ref).max() / np.abs(ref).max()
+    assert rel < 0.03, rel
+
+    y_off, w_off = run(use_w8a8_dyn_matmul=False)
+    assert w_off.symmetric
+    rel_off = np.abs(y_off - ref).max() / np.abs(ref).max()
+    assert rel_off < 0.02, rel_off  # weight-quant error only (no A8)

@@ -243,8 +243,8 @@ def test_force_uint8_storage_set():
 
 
 def test_pipeline_parallel_segments_match_single_device():
-    """pp_devices: segments pinned round-robin to devices; outputs must match
-    the single-device run (8 virtual CPU devices)."""
+    """pp_devices: segments pinned to stage devices in contiguous blocks;
+    outputs must match the single-device run (8 virtual CPU devices)."""
     import jax
     import numpy as np
 
@@ -283,6 +283,49 @@ def test_pipeline_parallel_segments_match_single_device():
     # second run reuses resident per-stage weights
     pp2, _ = run(cfg)
     np.testing.assert_allclose(pp2, base, rtol=2e-4, atol=1e-5)
+
+
+def test_pipeline_parallel_contiguous_placement_minimal_hops():
+    """A linear graph's segments map to contiguous stage blocks: the number
+    of cross-stage activation hops equals n_stages - 1 (round-robin would
+    hop on every boundary)."""
+    import jax
+    import numpy as np
+
+    from onnxstream_tpu.runtime.config import SessionConfig
+    from onnxstream_tpu.runtime.session import Session
+    from onnxstream_tpu.runtime.weights import DictWeightsProvider
+
+    # 12-matmul linear chain, one weight each -> 12 segments at a tiny budget
+    rng = np.random.RandomState(0)
+    K = 64
+    lines, weights = [], {}
+    for i in range(12):
+        src = "x" if i == 0 else f"t{i - 1}"
+        lines.append(
+            f"mm{i}:MatMul*input:{src}({1},{K});w{i}.bin(float32:{K},{K})*output:t{i}(1,{K})"
+        )
+        weights[f"w{i}.bin"] = (rng.randn(K, K) / np.sqrt(K)).astype(np.float32)
+    devs = jax.devices()[:4]
+    cfg = SessionConfig(hbm_budget_bytes=K * K * 4 + 1, pp_devices=devs)
+    s = Session(config=cfg, weights_provider=DictWeightsProvider(weights))
+    s.read_string("\n".join(lines) + "\n")
+    s.add_tensor("x", rng.randn(1, K).astype(np.float32))
+    y = np.asarray(s.run()[f"t{11}"], np.float32)
+    assert np.isfinite(y).all()
+    ex = s._executor()
+    n_seg = len(ex.segments)
+    assert n_seg >= len(devs), f"expected many segments, got {n_seg}"
+    assign = [ex._seg_device(si) for si in range(n_seg)]
+    hops = sum(1 for a, b in zip(assign, assign[1:]) if a is not b)
+    n_stages = len(set(assign))
+    assert n_stages == len(devs)
+    assert hops == n_stages - 1, (hops, [str(d) for d in assign])
+    # contiguous blocks are balanced within one segment
+    from collections import Counter
+
+    counts = Counter(assign).values()
+    assert max(counts) - min(counts) <= 1
 
 
 def test_ram_host_copy_released_after_device_residency():
