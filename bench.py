@@ -164,9 +164,15 @@ def main() -> None:
     total_budget_s = float(os.environ.get("OSTPU_BENCH_TOTAL_S", "540"))
 
     t_setup = time.time()
+
+    def _mark(stage):
+        print(f"# bench {stage} t+{time.time() - t_start:.0f}s", file=sys.stderr, flush=True)
+
     import jax
 
+    _mark("jax imported")
     g, s, inputs = _build_session()
+    _mark("session built")
     from onnxstream_tpu.models.sd.unet import param_count
 
     # warmup: dispatch, then FORCE with a readback so one-time costs (program
@@ -183,6 +189,7 @@ def main() -> None:
     r = cf(weights, a)
     out_probe = np.asarray(r[out_name], np.float32)  # forcing readback
     setup_s = time.time() - t_setup
+    _mark("warmup forced")
 
     # steady-state: chained device-resident steps (out_sample feeds the next
     # step's sample, like a real diffusion loop) + one forcing readback.
