@@ -40,10 +40,15 @@ class T:
 
 
 class GraphBuilder:
-    def __init__(self, seed: int = 0):
+    def __init__(self, seed: int = 0, weight_bank: Optional[Dict[str, np.ndarray]] = None):
         self.ops: List[OpNode] = []
         self.weights: Dict[str, np.ndarray] = {}
         self.rng = np.random.default_rng(seed)
+        # cross-build weight reuse: pipelines that build one graph per shape
+        # bucket (LLM (L, P) buckets, SDXL tiled decode) pass a persistent
+        # dict here so the multi-GB synthetic weights are generated ONCE —
+        # rebuilding the TinyLlama graph drops from ~140 s to ~2 s
+        self.weight_bank = weight_bank
         self._n = 0
 
     # ------------------------------------------------------------- plumbing
@@ -65,13 +70,30 @@ class GraphBuilder:
             self.weights[name] = arr
         return TensorSpec(name=name, shape=tuple(arr.shape), dtype=DType.from_np(arr.dtype))
 
+    def gen_weight(self, name: str, make) -> TensorSpec:
+        """weight() with bank-aware lazy generation: `make()` only runs when
+        the array is not already in the weight_bank."""
+        full = name if name.endswith(".bin") else name + ".bin"
+        if self.weight_bank is not None:
+            arr = self.weight_bank.get(full)
+            if arr is None:
+                arr = np.ascontiguousarray(make())
+                self.weight_bank[full] = arr
+        else:
+            arr = make()
+        return self.weight(name, arr)
+
     def randn(self, *shape, scale: Optional[float] = None) -> np.ndarray:
         if scale is None:
             fan_in = shape[-1] if len(shape) >= 2 else shape[0]
             if len(shape) == 4:
                 fan_in = shape[1] * shape[2] * shape[3]
             scale = 1.0 / math.sqrt(max(fan_in, 1))
-        return (self.rng.standard_normal(shape, dtype=np.float32) * scale).astype(np.float32)
+        # in-place scale: `* scale` + `.astype` would write the multi-GB
+        # synthetic LLM weights three times instead of once
+        arr = self.rng.standard_normal(shape, dtype=np.float32)
+        arr *= np.float32(scale)
+        return arr
 
     def emit(
         self,
@@ -164,10 +186,10 @@ class GraphBuilder:
         """x (..., din) @ W(din, dout) [+ b] — the converted-linear shape."""
         din = x.shape[-1]
         nm = name or self._name("linear")
-        w = self.weight(f"{nm}.weight", self.randn(din, dout))
+        w = self.gen_weight(f"{nm}.weight", lambda: self.randn(din, dout))
         y = self.emit("MatMul", [x, w], [x.shape[:-1] + (dout,)], name=nm + "/MatMul")
         if bias:
-            b = self.weight(f"{nm}.bias", self.randn(dout, scale=0.01))
+            b = self.gen_weight(f"{nm}.bias", lambda: self.randn(dout, scale=0.01))
             y = self.emit("Add", [y, b], [y.shape], name=nm + "/Add")
         return y
 

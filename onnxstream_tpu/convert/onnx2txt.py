@@ -262,8 +262,17 @@ def convert(
             t = weights[wname]
             a = np.asarray(t.data)
             name = final_name(wname)
-            # int64 feeding Mul input 1 is numeric, not shape math
-            if node.op_type == "Mul" and input_index == 1 and a.dtype == np.int64:
+            # int64 feeding Mul input 1 is numeric when the product is float
+            # (notebook rule: the reference Mul is float-only) — but when the
+            # Mul's inferred OUTPUT is int64, it is shape math (torch chunk()
+            # exports Shape->Div->Mul->Slice index chains) and the cast would
+            # break the static-index fold downstream
+            if (
+                node.op_type == "Mul"
+                and input_index == 1
+                and a.dtype == np.int64
+                and (not out_shapes or np.dtype(out_shapes[0][1]) != np.int64)
+            ):
                 a = a.astype(np.float32)
             if fp16 and a.dtype == np.float32:
                 a = a.astype(np.float16)

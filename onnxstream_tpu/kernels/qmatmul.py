@@ -400,3 +400,31 @@ def w8a8_dyn_matmul(
     )(ap, wp, sa_p, ws_p)
     out = out[:M, :N]
     return out.reshape(orig_shape[:-1] + (N,))
+
+
+def w8a8_dyn_matmul_xla(a: jax.Array, w_s8: jax.Array, w_scale, out_dtype=None) -> jax.Array:
+    """XLA-native form of w8a8_dyn_matmul: same math (per-row dynamic s8
+    activations, s8 x s8 -> s32 MXU dot, (row x col)-scale f32 epilogue)
+    expressed as stock XLA ops instead of a pallas_call.
+
+    Measured on v5e at the decode shape (M=1, 2048x2048, unrolled layers
+    inside a token scan): 27.1 us/matmul vs 36.7 us for the Pallas kernel —
+    XLA's own matvec emitter pipelines the weight DMA better than the
+    (bm, bn, bk) block grid, and the quantize/epilogue fuse into neighbors.
+    The Pallas kernel remains for the M >> 1 regime and as the documented
+    reference implementation.
+    """
+    orig_shape = a.shape
+    K = orig_shape[-1]
+    N = w_s8.shape[-1]
+    out_dtype = out_dtype or a.dtype
+    a2 = a.reshape(-1, K).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(a2), axis=1, keepdims=True)
+    sa = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
+    aq = jnp.clip(jnp.round(a2 / sa), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        aq, w_s8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    ws = jnp.asarray(w_scale, jnp.float32).reshape(1, -1) if np.ndim(w_scale) > 0 else w_scale
+    out = (acc.astype(jnp.float32) * sa * ws).astype(out_dtype)
+    return out.reshape(orig_shape[:-1] + (N,))

@@ -92,6 +92,10 @@ class SessionConfig:
     # mode — no per-element weight conversion at all, so bandwidth-bound
     # decode pays exactly half the bf16 HBM traffic
     use_w8a8_dyn_matmul: bool = True
+    # extra XLA TPU backend options for every segment compile (forwarded as
+    # jit(compiler_options=...)); tools/flag_sweep.py A/Bs candidates — see
+    # docs/tpu_notes.md for the measured sweep
+    compiler_options: Optional[Dict[str, str]] = None
     hbm_budget_bytes: int = 0  # 0 = single segment (no weight streaming cap)
     donate_weights: bool = True  # donate streamed weight buffers to the computation
     strict_shapes: bool = True  # enforce model.txt declared shapes (check_output_shape)
@@ -100,7 +104,7 @@ class SessionConfig:
     mesh: Optional[object] = None  # jax.sharding.Mesh for multi-chip execution
     sharding_rules: Optional[object] = None  # parallel.sharding rules when mesh is set
     # pipeline-parallel segment placement: with hbm_budget_bytes > 0, segments
-    # are pinned round-robin to these devices (weights resident per stage,
+    # are pinned to these devices in contiguous blocks (weights resident per stage,
     # boundary activations hop over ICI) — fits models larger than one chip's
     # HBM without host streaming
     pp_devices: Optional[list] = None

@@ -526,7 +526,7 @@ class Executor:
             return self._eval_qlinear(qmode, op, env, weights_env)
         s8 = self._dyn_s8_weight(op)
         if s8 is not None:
-            from onnxstream_tpu.kernels.qmatmul import w8a8_dyn_matmul
+            from onnxstream_tpu.kernels.qmatmul import w8a8_dyn_matmul_xla
 
             cdt = self.config.np_compute_dtype
             aname = op.inputs[0].name
@@ -534,10 +534,9 @@ class Executor:
             if _is_float_dtype(a.dtype) and a.dtype != cdt:
                 a = a.astype(cdt)
             scale, _zero = s8.quant
-            out = w8a8_dyn_matmul(
-                a, weights_env[s8.name], scale, out_dtype=cdt,
-                interpret=jax.default_backend() != "tpu",
-            )
+            # the XLA-native form measures faster than the Pallas block grid
+            # at every decode/prefill shape (see kernels/qmatmul.py docstring)
+            out = w8a8_dyn_matmul_xla(a, weights_env[s8.name], scale, out_dtype=cdt)
             return [out]
         w8 = self._w8_weight(op)
         if w8 is not None:
@@ -706,7 +705,12 @@ class Executor:
 
     def _compiled(self, si: int):
         if self._jitted[si] is None:
-            self._jitted[si] = jax.jit(self._segment_fn(si), donate_argnums=self._donate(si))
+            kw = {}
+            if self.config.compiler_options:
+                kw["compiler_options"] = dict(self.config.compiler_options)
+            self._jitted[si] = jax.jit(
+                self._segment_fn(si), donate_argnums=self._donate(si), **kw
+            )
         return self._jitted[si]
 
     def _weight_formats(self, si: int):
@@ -730,9 +734,12 @@ class Executor:
                 auto = Format(AutoLayout())
                 sd = jax.sharding.SingleDeviceSharding(self._seg_device(si))
                 spec = ([auto] * len(self.segments[si].weight_args), sd)
+                kw = {}
+                if self.config.compiler_options:
+                    kw["compiler_options"] = dict(self.config.compiler_options)
                 comp = (
                     jax.jit(self._segment_fn(si), donate_argnums=self._donate(si),
-                            in_shardings=spec)
+                            in_shardings=spec, **kw)
                     .lower(*avals)
                     .compile()
                 )

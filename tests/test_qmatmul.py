@@ -315,3 +315,22 @@ def test_session_dyn_s8_matmul_dispatch_and_parity():
     assert w_off.symmetric
     rel_off = np.abs(y_off - ref).max() / np.abs(ref).max()
     assert rel_off < 0.02, rel_off  # weight-quant error only (no A8)
+
+
+@pytest.mark.parametrize("shape,per_channel", [((1, 96, 256), True), ((4, 100, 300), False)])
+def test_w8a8_dyn_matmul_xla_matches_oracle(shape, per_channel):
+    """The XLA-native dyn-s8 form (the executor's dispatch target) computes
+    the same math as the Pallas kernel's oracle."""
+    import jax.numpy as jnp
+
+    from onnxstream_tpu.kernels.qmatmul import w8a8_dyn_matmul_xla
+
+    M, K, N = shape
+    a = np.random.RandomState(0).randn(M, K).astype(np.float32)
+    rng = np.random.RandomState(1)
+    w = rng.randint(-127, 128, (K, N)).astype(np.int8)
+    ws = (rng.rand(N).astype(np.float32) * 0.02 + 0.001) if per_channel else 0.013
+    y = np.asarray(w8a8_dyn_matmul_xla(jnp.asarray(a), jnp.asarray(w), ws))
+    ref = _dyn_oracle(a, w, np.broadcast_to(np.asarray(ws, np.float32), (N,)))
+    rel = np.abs(y - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 2e-5, rel
