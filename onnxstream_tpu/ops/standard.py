@@ -532,6 +532,43 @@ def _argmax(ctx: Ctx, op, ins):
     return [idx]
 
 
+@register("ostpu.gn_silu")
+def _gn_silu_op(ctx: Ctx, op, ins):
+    """Fused GroupNorm + per-channel affine + optional SiLU (NCHW), produced
+    by runtime/fusion.fuse_groupnorm from the converter's Reshape ->
+    InstanceNormalization -> Reshape -> Mul -> Add [-> Sigmoid+Mul] chain
+    (the decomposition the reference executes op-by-op,
+    src/onnxstream.cpp:4788). One-HBM-pass Pallas kernel on TPU
+    (kernels/gn_silu.py); jnp oracle elsewhere."""
+    x, sg, sb, gamma, beta = ins[0], ins[1], ins[2], ins[3], ins[4]
+    groups = op.attr_int("groups")
+    eps = op.attr_float("epsilon", 1e-5)
+    silu = bool(op.attr_int("silu", 0))
+    if ctx.xp is np:
+        c = x.shape[1]
+        xf = np.asarray(x, np.float32).reshape(x.shape[0], groups, -1)
+        mean = xf.mean(axis=-1, keepdims=True)
+        var = np.maximum((xf * xf).mean(axis=-1, keepdims=True) - mean * mean, 0.0)
+        norm = (xf - mean) / np.sqrt(var + eps)
+        norm = norm * np.asarray(sg, np.float32).reshape(1, groups, 1)
+        norm = norm + np.asarray(sb, np.float32).reshape(1, groups, 1)
+        y = norm.reshape(x.shape)
+        y = y * np.asarray(gamma, np.float32).reshape(1, c, 1, 1)
+        y = y + np.asarray(beta, np.float32).reshape(1, c, 1, 1)
+        if silu:
+            y = y * (1.0 / (1.0 + np.exp(-y)))
+        return [y.astype(np.asarray(x).dtype)]
+    from onnxstream_tpu.kernels.gn_silu import gn_silu
+
+    return [
+        gn_silu(
+            jnp.asarray(x), jnp.asarray(sg), jnp.asarray(sb),
+            jnp.asarray(gamma), jnp.asarray(beta),
+            groups=groups, eps=eps, silu=silu,
+        )
+    ]
+
+
 @register("InstanceNormalization")
 def _instance_norm(ctx: Ctx, op, ins):
     x, scale, bias = ins

@@ -56,6 +56,11 @@ class SessionConfig:
     # XLA lowers the projection dot + head split into a head-axis convolution
     # either way, at ~0.6 ms/step total (docs/tpu_notes.md)
     fuse_attention_heads: bool = True
+    # collapse the converter's GroupNorm decomposition (+SiLU) into one
+    # ostpu.gn_silu op, backed on TPU by a one-HBM-pass Pallas kernel
+    # (kernels/gn_silu.py): one grid step per (batch, group), stats + folded
+    # affine + silu computed on the VMEM-resident slab
+    fuse_groupnorm: bool = True
     # compile with compiler-chosen (AUTO) weight layouts and upload weights
     # directly in that layout — otherwise XLA re-lays-out ~every weight on
     # every step (measured 665 async copies = 1.2 GB/step on the SD1.5 UNet)
@@ -147,6 +152,7 @@ class SessionConfig:
             "use_nhwc_layout": lambda v: setattr(self, "use_nhwc_layout", v),
             "use_flash_attention": lambda v: setattr(self, "use_flash_attention", v),
             "fuse_attention_heads": lambda v: setattr(self, "fuse_attention_heads", v),
+            "fuse_groupnorm": lambda v: setattr(self, "fuse_groupnorm", v),
             "use_w8_matmul": lambda v: setattr(self, "use_w8_matmul", v),
             "int8_symmetric_storage": lambda v: setattr(self, "int8_symmetric_storage", v),
             "use_w8a8_dyn_matmul": lambda v: setattr(self, "use_w8a8_dyn_matmul", v),

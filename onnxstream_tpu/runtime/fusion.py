@@ -286,6 +286,131 @@ class _Rewriter:
         return q[0], k[0], v[0], list(r.outputs), q[1], removed
 
 
+def fuse_groupnorm(graph: Graph, config: SessionConfig, weight_loader=None) -> Graph:
+    """Collapse the converter's GroupNorm decomposition (+ optional SiLU)
+    into one ``ostpu.gn_silu`` op.
+
+    Pattern (convert/builder.py group_norm — the shape ONNX exporters emit
+    and the reference executes op-by-op via InstanceNormalization,
+    src/onnxstream.cpp:4788):
+
+        Reshape(N,C,H,W -> N,G,-1)
+          -> InstanceNormalization(sg(G), sb(G), eps)
+          -> Reshape(back) -> Mul(gamma, C elems) -> Add(beta, C elems)
+          [-> Sigmoid + Mul  (SiLU)]
+
+    All interior tensors must have exactly one consumer (two for the SiLU
+    head tensor feeding both Sigmoid and the product Mul) and must not be
+    requested as extra outputs. The fused op runs as a one-HBM-pass Pallas
+    kernel on TPU (kernels/gn_silu.py)."""
+    if not getattr(config, "fuse_groupnorm", True):
+        return graph
+    keep = set(getattr(config, "extra_outputs", ()) or ())
+    rw = _Rewriter(graph, config, weight_loader)
+    ops = graph.ops
+
+    def only_consumer(name):
+        if name in keep:
+            return None
+        c = rw.consumers.get(name, [])
+        return c[0] if len(c) == 1 else None
+
+    plans = []
+    claimed = set()
+    for i, op in enumerate(ops):
+        if op.op_type != "InstanceNormalization" or len(op.inputs) != 3:
+            continue
+        r_spec, sg_spec, sb_spec = op.inputs
+        if not (sg_spec.is_weight and sb_spec.is_weight):
+            continue
+        if len(r_spec.shape) != 3:
+            continue
+        groups = r_spec.shape[1]
+        if sg_spec.nelem != groups or sb_spec.nelem != groups:
+            continue
+        # pre-reshape from 4D NCHW
+        ri = rw.producer.get(r_spec.name)
+        if ri is None or ops[ri].op_type != "Reshape":
+            continue
+        if only_consumer(r_spec.name) != i:
+            continue
+        x_spec = ops[ri].inputs[0]
+        if len(x_spec.shape) != 4 or x_spec.shape[0] != r_spec.shape[0]:
+            continue
+        c = x_spec.shape[1]
+        if c % groups:
+            continue
+        # post-reshape back to x.shape
+        pi = only_consumer(op.outputs[0].name)
+        if pi is None or ops[pi].op_type != "Reshape":
+            continue
+        if tuple(ops[pi].outputs[0].shape) != tuple(x_spec.shape):
+            continue
+        # per-channel affine: Mul(gamma) -> Add(beta)
+        mi = only_consumer(ops[pi].outputs[0].name)
+        if mi is None or ops[mi].op_type != "Mul":
+            continue
+        g_spec = next((t for t in ops[mi].inputs if t.is_weight), None)
+        if g_spec is None or g_spec.nelem != c:
+            continue
+        ai = only_consumer(ops[mi].outputs[0].name)
+        if ai is None or ops[ai].op_type != "Add":
+            continue
+        b_spec = next((t for t in ops[ai].inputs if t.is_weight), None)
+        if b_spec is None or b_spec.nelem != c:
+            continue
+        removed = [ri, i, pi, mi, ai]
+        out_op = ops[ai]
+        silu = 0
+        # optional SiLU: Add output feeds exactly Sigmoid + Mul(of both)
+        head = out_op.outputs[0].name
+        cons = rw.consumers.get(head, [])
+        if head not in keep and len(cons) == 2:
+            sig = next((j for j in cons if ops[j].op_type == "Sigmoid"), None)
+            mul = next((j for j in cons if ops[j].op_type == "Mul"), None)
+            if sig is not None and mul is not None:
+                sig_out = ops[sig].outputs[0].name
+                mul_ins = {t.name for t in ops[mul].inputs}
+                if (
+                    only_consumer(sig_out) == mul
+                    and mul_ins == {head, sig_out}
+                ):
+                    removed.extend([sig, mul])
+                    out_op = ops[mul]
+                    silu = 1
+        if claimed & set(removed):
+            continue
+        claimed.update(removed)
+        fused = OpNode(
+            name=op.name + "_gn_silu",
+            op_type="ostpu.gn_silu",
+            inputs=[x_spec, sg_spec, sb_spec, g_spec, b_spec],
+            outputs=list(out_op.outputs),
+            attrs={
+                "groups": str(groups),
+                "epsilon": f"{op.attr_float('epsilon', 1e-5):.17g}",
+                "silu": str(silu),
+            },
+        )
+        plans.append((removed, fused))
+
+    if not plans:
+        return graph
+    replace_at = {max(removed): fused for removed, fused in plans}
+    drop = set()
+    for removed, _ in plans:
+        drop.update(removed)
+    new_ops: List[OpNode] = []
+    for i, op in enumerate(ops):
+        if i in replace_at:
+            new_ops.append(replace_at[i])
+        elif i in drop:
+            continue
+        else:
+            new_ops.append(op)
+    return Graph(ops=new_ops)
+
+
 def fuse_attention(graph: Graph, config: SessionConfig, weight_loader=None) -> Graph:
     """Apply the SDPA recognizers. Returns a new Graph (or the original if no
     pattern matched)."""

@@ -72,7 +72,10 @@ class Session:
         or extra outputs change — both passes read the config."""
         from onnxstream_tpu.runtime.layout import rewrite_nhwc
 
+        from onnxstream_tpu.runtime.fusion import fuse_groupnorm
+
         self.graph = fuse_attention(self._raw_graph, self.config, self._loader)
+        self.graph = fuse_groupnorm(self.graph, self.config, self._loader)
         self.graph = rewrite_nhwc(self.graph, self.config,
                                   keep_names=self.config.extra_outputs)
         self._executors.clear()

@@ -1,0 +1,128 @@
+"""Fused GroupNorm+SiLU: Pallas kernel vs oracle, fusion recognizer, and
+session-level parity fused vs decomposed."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from onnxstream_tpu.kernels.gn_silu import gn_silu_pallas, gn_silu_reference
+
+
+def _mk(n, c, h, w, groups, seed=0):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n, c, h, w).astype(np.float32)
+    sg = (1.0 + 0.1 * rng.randn(groups)).astype(np.float32)
+    sb = (0.05 * rng.randn(groups)).astype(np.float32)
+    gamma = (1.0 + 0.2 * rng.randn(c)).astype(np.float32)
+    beta = (0.1 * rng.randn(c)).astype(np.float32)
+    return x, sg, sb, gamma, beta
+
+
+@pytest.mark.parametrize(
+    "n,c,h,w,groups,silu",
+    [
+        (1, 64, 8, 8, 32, True),     # cg=2, tiny spatial
+        (1, 320, 16, 16, 32, True),  # SD1.5 L0 channel count, cg=10
+        (2, 40, 4, 4, 8, False),     # batch 2, no silu
+        (1, 24, 5, 7, 4, True),      # non-pow2 spatial (HW=35 lanes)
+    ],
+)
+def test_pallas_matches_oracle(n, c, h, w, groups, silu):
+    x, sg, sb, gamma, beta = _mk(n, c, h, w, groups)
+    ref = np.asarray(
+        gn_silu_reference(
+            jnp.asarray(x), jnp.asarray(sg), jnp.asarray(sb),
+            jnp.asarray(gamma), jnp.asarray(beta), groups, 1e-5, silu
+        )
+    )
+    out = np.asarray(
+        gn_silu_pallas(
+            jnp.asarray(x), jnp.asarray(sg), jnp.asarray(sb),
+            jnp.asarray(gamma), jnp.asarray(beta),
+            groups=groups, eps=1e-5, silu=silu, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_bf16_matches_oracle():
+    x, sg, sb, gamma, beta = _mk(1, 64, 8, 8, 32, seed=3)
+    args = [jnp.asarray(x, jnp.bfloat16), jnp.asarray(sg), jnp.asarray(sb),
+            jnp.asarray(gamma), jnp.asarray(beta)]
+    ref = np.asarray(gn_silu_reference(*args, 32, 1e-5, True), np.float32)
+    out = np.asarray(
+        gn_silu_pallas(*args, groups=32, eps=1e-5, silu=True, interpret=True),
+        np.float32,
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+
+def _tiny_unet_session(fuse: bool):
+    from onnxstream_tpu.models.sd.unet import TINY, build_unet
+    from onnxstream_tpu.runtime.config import SessionConfig
+    from onnxstream_tpu.runtime.session import Session
+    from onnxstream_tpu.runtime.weights import DictWeightsProvider
+
+    g = build_unet(TINY)
+    s = Session(
+        config=SessionConfig(fuse_ops_in_attention=True, fuse_groupnorm=fuse),
+        weights_provider=DictWeightsProvider(g.weights),
+    )
+    s.read_string(g.to_text())
+    return s
+
+
+def test_fusion_rewrites_unet_groupnorms():
+    s = _tiny_unet_session(fuse=True)
+    kinds = [op.op_type for op in s.graph.ops]
+    n_fused = kinds.count("ostpu.gn_silu")
+    assert n_fused >= 5, f"expected the tiny UNet's groupnorms fused, got {n_fused}"
+    assert "InstanceNormalization" not in kinds
+    # SiLU heads absorbed where present: at least one fused op carries silu=1
+    silus = [op.attr_int("silu", 0) for op in s.graph.ops if op.op_type == "ostpu.gn_silu"]
+    assert any(silus) and not all(silus)  # attention-block norms have no silu
+
+
+def test_session_parity_fused_vs_decomposed():
+    rng = np.random.RandomState(7)
+    outs = []
+    for fuse in (False, True):
+        s = _tiny_unet_session(fuse)
+        rng = np.random.RandomState(7)
+        for name, spec in s.graph.inputs.items():
+            if name == "timestep":
+                s.add_tensor(name, np.array([500.0], np.float32))
+            else:
+                s.add_tensor(name, rng.randn(*spec.shape).astype(np.float32))
+        r = s.run()
+        outs.append(np.asarray(next(iter(r.values())), np.float32))
+    np.testing.assert_allclose(outs[1], outs[0], rtol=5e-4, atol=5e-5)
+
+
+def test_extra_output_blocks_fusion():
+    from onnxstream_tpu.models.sd.unet import TINY, build_unet
+    from onnxstream_tpu.runtime.config import SessionConfig
+    from onnxstream_tpu.runtime.session import Session
+    from onnxstream_tpu.runtime.weights import DictWeightsProvider
+
+    g = build_unet(TINY)
+    # pick an interior tensor of a groupnorm chain: an InstanceNormalization output
+    inorm_out = next(
+        op.outputs[0].name for op in g.to_graph().ops
+        if op.op_type == "InstanceNormalization"
+    ) if hasattr(g, "to_graph") else None
+    if inorm_out is None:
+        from onnxstream_tpu.ir import parse_model_txt
+
+        graph = parse_model_txt(g.to_text())
+        inorm_out = next(
+            op.outputs[0].name for op in graph.ops
+            if op.op_type == "InstanceNormalization"
+        )
+    cfg = SessionConfig(fuse_groupnorm=True, extra_outputs=[inorm_out])
+    s = Session(config=cfg, weights_provider=DictWeightsProvider(g.weights))
+    s.read_string(g.to_text())
+    # the chain containing the requested tensor must stay decomposed
+    assert any(op.op_type == "InstanceNormalization" for op in s.graph.ops)
