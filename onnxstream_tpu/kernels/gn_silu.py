@@ -6,12 +6,20 @@ GroupNorm -> scale/shift -> SiLU chains in front of every resnet conv
 of the elementwise-fusion bucket at 11.5 ms/step). XLA executes each chain
 as a stats reduction over the activation plus at least one more full
 read/write pass for the normalize+affine+silu apply. This kernel does the
-whole chain in ONE pass over HBM: each grid step owns one (group, batch)
-pair, loads that group's (C/G, H*W) slab into VMEM once, computes the
-moments there, applies the folded affine and the optional SiLU, and writes
-the result — activation bytes move exactly twice (read + write), and
-Mosaic double-buffers the slabs across grid steps so the pass runs at HBM
-speed.
+whole chain in ONE pass over HBM: each grid step owns one batch row, loads
+its (C, H*W) slab into VMEM once, computes the per-group moments there,
+applies the folded affine and the optional SiLU, and writes the result —
+activation bytes move exactly twice (read + write), and Mosaic
+double-buffers the slabs across grid steps so the pass runs at HBM speed.
+
+A/B verdict (real v5e, SD1.5 UNet, 2026-08): the fused path LOSES —
+21.45 ms/step (21.0 with a 32 MB VMEM limit hint) vs 11.9 ms decomposed.
+The custom call is an opaque fusion barrier: XLA had been folding the
+normalize/affine/silu applies into the convolution pre/post passes, and
+severing that costs ~9 ms while the kernel saves <1 ms of norm-pass HBM
+traffic. `fuse_groupnorm` therefore defaults OFF (runtime/config.py); the
+kernel stays as a correct, tested option for standalone-norm workloads
+where there is no adjacent producer/consumer to fuse into.
 
 Reference semantics: the converter decomposes GroupNorm into
 Reshape(N,G,-1) -> InstanceNormalization(eps) -> Reshape -> Mul(gamma) ->
@@ -57,21 +65,51 @@ def gn_silu_reference(x, sg, sb, gamma, beta, groups: int, eps: float, silu: boo
     return y.astype(dt)
 
 
-def _kernel(x_ref, sg_ref, sb_ref, g_ref, b_ref, o_ref, *, eps: float, silu: bool):
-    x = x_ref[...].astype(jnp.float32)  # (cg, HW) — one group's slab
-    cnt = x.shape[0] * x.shape[1]
-    s1 = jnp.sum(x)
-    s2 = jnp.sum(jnp.square(x))
-    mean = s1 / cnt
-    var = jnp.maximum(s2 / cnt - mean * mean, 0.0)
+def _kernel(x_ref, sg_ref, sb_ref, g_ref, b_ref, o_ref, *, groups: int,
+            eps: float, silu: bool):
+    """One batch row per grid step; the whole (C, HW) slab is VMEM-resident
+    (<= ~5 MB bf16 at SD sizes; v5e VMEM is far larger). Group moments via
+    per-CHANNEL lane reductions folded by a tiny iota-built (G, C) 0/1
+    matmul — Mosaic forbids blocks whose second-minor dim is the (unaligned)
+    C/G channels-per-group, and value reshapes across the sublane tiling
+    would relayout; the fold avoids both."""
+    x = x_ref[...].astype(jnp.float32)  # (C, HW)
+    c, hw = x.shape
+    cg = c // groups
+    s1 = jnp.sum(x, axis=1, keepdims=True)  # (C, 1)
+    s2 = jnp.sum(x * x, axis=1, keepdims=True)
+    fold = (
+        jax.lax.broadcasted_iota(jnp.int32, (groups, c), 1) // cg
+        == jax.lax.broadcasted_iota(jnp.int32, (groups, c), 0)
+    ).astype(jnp.float32)  # (G, C): fold[g, ch] = ch in group g
+    unfold = (
+        jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0) // cg
+        == jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+    ).astype(jnp.float32)  # (C, G)
+    cnt = cg * hw
+    # HIGHEST precision: the MXU's default f32 path truncates through bf16
+    # passes, and the partial sums here have magnitude ~hw, so a bf16-rounded
+    # moment costs ~3e-2 absolute output error (measured on chip). These dots
+    # are (G,C)x(C,1) — forcing the exact f32 mode is free.
+    hi = jax.lax.Precision.HIGHEST
+    s1g = jnp.dot(fold, s1, preferred_element_type=jnp.float32, precision=hi)
+    s2g = jnp.dot(fold, s2, preferred_element_type=jnp.float32, precision=hi)
+    mean = s1g / cnt
+    var = jnp.maximum(s2g / cnt - mean * mean, 0.0)
     rstd = jax.lax.rsqrt(var + eps)
-    sg = sg_ref[0, 0].astype(jnp.float32)
-    sb = sb_ref[0, 0].astype(jnp.float32)
-    gam = g_ref[...].astype(jnp.float32)  # (cg, 1)
-    bet = b_ref[...].astype(jnp.float32)  # (cg, 1)
-    a = rstd * sg * gam
-    b = (sb - mean * rstd * sg) * gam + bet
-    y = x * a + b
+    sg = sg_ref[...].astype(jnp.float32)  # (G, 1)
+    sb = sb_ref[...].astype(jnp.float32)
+    ag = rstd * sg
+    bg = sb - mean * ag
+    a_c = jnp.dot(unfold, ag, preferred_element_type=jnp.float32,
+                  precision=hi)  # (C, 1)
+    b_c = jnp.dot(unfold, bg, preferred_element_type=jnp.float32,
+                  precision=hi)
+    gam = g_ref[...].astype(jnp.float32)  # (C, 1)
+    bet = b_ref[...].astype(jnp.float32)
+    a_c = a_c * gam
+    b_c = b_c * gam + bet
+    y = x * a_c + b_c
     if silu:
         y = y * jax.nn.sigmoid(y)
     o_ref[...] = y.astype(o_ref.dtype)
@@ -82,15 +120,17 @@ def _kernel(x_ref, sg_ref, sb_ref, g_ref, b_ref, o_ref, *, eps: float, silu: boo
 )
 def gn_silu_pallas(x, sg, sb, gamma, beta, groups: int, eps: float, silu: bool,
                    interpret: bool = False):
-    """One-HBM-pass fused kernel. Grid = (N, G); block = one group's
-    (C/G, H*W) slab (80-320 KB at SD1.5/SDXL sizes — VMEM-trivial, so the
-    pipeline double-buffers and the whole chain is bandwidth-bound)."""
+    """One-HBM-pass fused kernel. Grid = (N,); block = one batch row's full
+    (C, HW) slab (2.6 MB bf16 at the SD1.5 64x64 level; v5e VMEM holds it
+    comfortably). Mosaic requires the last two block dims 8/128-divisible or
+    equal to the array dims — a per-group (C/G, HW) block violates the
+    sublane rule for C/G like 10, so the slab spans C and the kernel folds
+    groups internally."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n, c = x.shape[0], x.shape[1]
     hw = int(np.prod(x.shape[2:]))
-    cg = c // groups
     x3 = x.reshape(n, c, hw)
     sg2 = sg.reshape(groups, 1)
     sb2 = sb.reshape(groups, 1)
@@ -98,19 +138,19 @@ def gn_silu_pallas(x, sg, sb, gamma, beta, groups: int, eps: float, silu: bool,
     b2 = beta.reshape(c, 1)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, eps=eps, silu=silu),
-        grid=(n, groups),
+        functools.partial(_kernel, groups=groups, eps=eps, silu=silu),
+        grid=(n,),
         in_specs=[
-            pl.BlockSpec((None, cg, hw), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, 1), lambda i, j: (j, 0)),
-            pl.BlockSpec((1, 1), lambda i, j: (j, 0)),
-            pl.BlockSpec((cg, 1), lambda i, j: (j, 0)),
-            pl.BlockSpec((cg, 1), lambda i, j: (j, 0)),
+            pl.BlockSpec((None, c, hw), lambda i: (i, 0, 0)),
+            pl.BlockSpec((groups, 1), lambda i: (0, 0)),
+            pl.BlockSpec((groups, 1), lambda i: (0, 0)),
+            pl.BlockSpec((c, 1), lambda i: (0, 0)),
+            pl.BlockSpec((c, 1), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((None, cg, hw), lambda i, j: (i, j, 0)),
+        out_specs=pl.BlockSpec((None, c, hw), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, c, hw), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")
+            dimension_semantics=("parallel",)
         ),
         interpret=interpret,
     )(x3, sg2, sb2, g2, b2)

@@ -58,9 +58,14 @@ class SessionConfig:
     fuse_attention_heads: bool = True
     # collapse the converter's GroupNorm decomposition (+SiLU) into one
     # ostpu.gn_silu op, backed on TPU by a one-HBM-pass Pallas kernel
-    # (kernels/gn_silu.py): one grid step per (batch, group), stats + folded
-    # affine + silu computed on the VMEM-resident slab
-    fuse_groupnorm: bool = True
+    # (kernels/gn_silu.py): one grid step per batch row, stats + folded
+    # affine + silu computed on the VMEM-resident slab. Default OFF: on a
+    # real v5e the fused SD1.5 UNet step measured 21.0-21.5 ms vs 11.9 ms
+    # decomposed — the opaque custom call severs XLA's fusion of the
+    # norm chain into the neighboring convolutions, costing far more than
+    # the one saved HBM pass (docs/tpu_notes.md A/B). Kept as a tested
+    # option for memory-bound standalone-norm workloads.
+    fuse_groupnorm: bool = False
     # compile with compiler-chosen (AUTO) weight layouts and upload weights
     # directly in that layout — otherwise XLA re-lays-out ~every weight on
     # every step (measured 665 async copies = 1.2 GB/step on the SD1.5 UNet)

@@ -1,6 +1,8 @@
 """Fused GroupNorm+SiLU: Pallas kernel vs oracle, fusion recognizer, and
 session-level parity fused vs decomposed."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -8,6 +10,11 @@ import jax
 import jax.numpy as jnp
 
 from onnxstream_tpu.kernels.gn_silu import gn_silu_pallas, gn_silu_reference
+
+TPU_TESTS = (
+    os.environ.get("OSTPU_TPU_TESTS", "") == "1"
+    and jax.default_backend() == "tpu"
+)
 
 
 def _mk(n, c, h, w, groups, seed=0):
@@ -44,6 +51,21 @@ def test_pallas_matches_oracle(n, c, h, w, groups, silu):
             groups=groups, eps=1e-5, silu=silu, interpret=True,
         )
     )
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.skipif(not TPU_TESTS, reason="set OSTPU_TPU_TESTS=1 on a TPU backend")
+@pytest.mark.parametrize("n,c,h,w,g", [(2, 320, 64, 64, 32), (1, 1280, 8, 8, 32)])
+def test_pallas_on_chip_f32_tight(n, c, h, w, g):
+    """Real-MXU regression guard: the fold matmuls must run at HIGHEST
+    precision — the MXU's default bf16-pass f32 mode corrupts the group
+    moments to ~3e-2 absolute output error (caught on chip 2026-08-19;
+    interpret mode cannot see it)."""
+    x, sg, sb, gamma, beta = _mk(n, c, h, w, g, seed=1)
+    args = [jnp.asarray(x), jnp.asarray(sg), jnp.asarray(sb),
+            jnp.asarray(gamma), jnp.asarray(beta)]
+    ref = np.asarray(gn_silu_reference(*args, g, 1e-5, True))
+    out = np.asarray(gn_silu_pallas(*args, groups=g, eps=1e-5, silu=True))
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
 
 
