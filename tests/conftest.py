@@ -19,6 +19,19 @@ if os.environ.get("OSTPU_TPU_TESTS", "") != "1":
     jax.config.update("jax_platforms", "cpu")
     assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
 
+# The suite is compile-dominated on this 1-core host (the same graphs are
+# re-jitted every run). JAX's persistent compilation cache works on the CPU
+# PJRT backend too: first run populates ~./.cache/jax_tests, repeat runs cut
+# wall time roughly in half. Thresholds at 0/-1 so even small executables
+# (the tail of 300+ tiny tests) are cached.
+import jax as _jax
+
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                          ".cache", "jax_tests")
+_jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+_jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
