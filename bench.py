@@ -187,7 +187,15 @@ def main() -> None:
     ex = s._executor()
     seg = ex.segments[0]
     out_name = "out_sample" if "out_sample" in seg.out_names else seg.out_names[0]
-    weights = ex._fetch_segment_weights(seg)
+    # The bench model's weights are synthetic (BASELINE.md/README label), so
+    # the big float tensors are generated ON DEVICE: dense bf16 step time is
+    # value-independent and the tunneled host link (~3-50 MB/s WAN) turns a
+    # 1.7 GB upload into 1-10 min of setup — round 2's rc=124 was exactly
+    # that. OSTPU_BENCH_UPLOAD=1 restores the full host-upload path.
+    if os.environ.get("OSTPU_BENCH_UPLOAD", "") == "1":
+        weights = ex._fetch_segment_weights(seg)
+    else:
+        weights = ex.synthesize_segment_weights(seg)
     acts = {k: jax.device_put(np.asarray(v, np.float32)) for k, v in inputs.items()}
     cf = ex._compiled(0)
     r = cf(weights, acts)

@@ -833,6 +833,39 @@ def _conv(ctx: Ctx, op, ins):
         and x.ndim == 4
         and ctx.xp is jnp
         and _is_float(x)
+        and getattr(ctx.config, "use_pallas_smallconv", False)
+        and (jax.default_backend() == "tpu"
+             or getattr(ctx.config, "pallas_interpret", False))
+        and tuple(w.shape[2:]) == (3, 3)
+        and strides == [1, 1]
+        and dilations == [1, 1]
+        and pads == [1, 1, 1, 1]
+        and x.shape[1] % 128 == 0
+        and w.shape[0] % 128 == 0
+        and x.shape[2] * x.shape[3] <= 1024
+        and (x.shape[0] * x.shape[2] * x.shape[3]) % 8 == 0
+    ):
+        # small-spatial 3x3 convs via im2col + the opaque Pallas MXU matmul
+        # (kernels/matmul.py): XLA's direct schedule here is ~10-12% MFU and
+        # rewrites any source-level dot formulation back into the same conv
+        # (docs/tpu_notes.md); the Pallas call is immune to that rewrite.
+        from onnxstream_tpu.kernels.matmul import conv3x3_im2col_pallas
+
+        xt = jnp.transpose(x, (0, 2, 3, 1))
+        bb = None
+        if b is not None:
+            bb, _ = _align_binary(ctx, b, x)
+        y = conv3x3_im2col_pallas(
+            xt, w, bb,
+            interpret=getattr(ctx.config, "pallas_interpret", False),
+        )
+        return [jnp.transpose(y, (0, 3, 1, 2))]
+    if (
+        not conv1d
+        and group == 1
+        and x.ndim == 4
+        and ctx.xp is jnp
+        and _is_float(x)
         and getattr(ctx.config, "use_rowdot_convs", False)
         and tuple(w.shape[2:]) == (3, 3)
         and strides == [1, 1]

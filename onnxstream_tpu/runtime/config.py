@@ -83,6 +83,19 @@ class SessionConfig:
     # these shapes schedule space-to-batch / dot->conv forms that execute
     # ~3x the algorithmic FLOPs at ~12% effective MFU (docs/tpu_notes.md).
     use_rowdot_convs: bool = False
+    # run small-spatial (HW <= 1024) lane-aligned 3x3 convs as im2col + the
+    # opaque Pallas MXU matmul (kernels/matmul.py). Unlike use_dot_convs /
+    # use_rowdot_convs — which LOST because XLA rewrites source-level
+    # reshape(dot(im2col)) back into its own ~10% MFU conv schedule — the
+    # Pallas call cannot be rewritten. Measured A/B on the SD1.5 UNet step
+    # (tools/ab_unet.py, 2026-08-19): LOSES, 13.2 vs 12.26 ms same hour —
+    # the opaque call drops the conv-adjacent elementwise fusions and the
+    # XLA-side im2col concat is 9x activation HBM traffic. Default OFF;
+    # kept for odd-shape models where XLA's conv schedule is pathological.
+    use_pallas_smallconv: bool = False
+    # test-only: run Pallas kernel dispatches in interpret mode so the
+    # session-level routing is exercisable on the CPU test backend
+    pallas_interpret: bool = False
     # run MatMuls whose uint8 weight has NO calibrated range through the
     # weight-only Pallas kernel (kernels/qmatmul.w8_matmul): the u8 blocks
     # dequantize in VMEM inside the K loop, so HBM sees 1 byte/weight and no
@@ -159,6 +172,7 @@ class SessionConfig:
             "fuse_attention_heads": lambda v: setattr(self, "fuse_attention_heads", v),
             "fuse_groupnorm": lambda v: setattr(self, "fuse_groupnorm", v),
             "use_w8_matmul": lambda v: setattr(self, "use_w8_matmul", v),
+            "use_pallas_smallconv": lambda v: setattr(self, "use_pallas_smallconv", v),
             "int8_symmetric_storage": lambda v: setattr(self, "int8_symmetric_storage", v),
             "use_w8a8_dyn_matmul": lambda v: setattr(self, "use_w8a8_dyn_matmul", v),
         }

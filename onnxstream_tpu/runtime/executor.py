@@ -270,6 +270,71 @@ class Executor:
         dst = fmt if fmt is not None else self._weight_shardings.get(w.name, self._device)
         return jax.device_put(arr, dst)
 
+    def synthesize_segment_weights(self, seg: Segment, si: int = 0,
+                                   min_bytes: int = 1 << 20,
+                                   seed: int = 0) -> List[jax.Array]:
+        """Perf-harness variant of _fetch_segment_weights: big float weights
+        are GENERATED ON DEVICE (one jitted jax.random program) instead of
+        uploaded. On the tunneled dev chip the host link is a ~3-50 MB/s
+        WAN, so a synthetic 1.7 GB model costs ~1-10 min of pure upload per
+        process; dense bf16/f32 compute time is value-independent, so for
+        timing-only runs (bench.py) device-side N(0, 0.02) weights measure
+        the same program in seconds. Small and non-float weights (masks,
+        index tables, embedding tables, quantized weights) still come from
+        the provider — they can steer control structure and must be real.
+        NOT for accuracy runs: outputs are numerically meaningless."""
+        formats = self._weight_formats(si)
+        big: List[int] = []
+        for wi, w in enumerate(seg.weight_args):
+            if (upload_bytes(w) >= min_bytes and w.quant is None
+                    and np.dtype(w.upload_dtype).kind == "f"):
+                big.append(wi)
+        big_set = set(big)
+        specs = [(seg.weight_args[wi].shape,
+                  np.dtype(seg.weight_args[wi].upload_dtype)) for wi in big]
+
+        def _gen(key):
+            outs = []
+            for i, (shp, dt) in enumerate(specs):
+                k = jax.random.fold_in(key, i)
+                outs.append(
+                    (0.02 * jax.random.normal(k, shp, jnp.float32)).astype(dt)
+                )
+            return outs
+
+        # The AUTO-layout Formats go in as the generator's out_shardings so
+        # generation AND relayout are ONE compiled program — a per-weight
+        # jax.device_put(dev, fmt) loop is ~400 serialized RPCs over the
+        # tunneled control channel (~0.5 s each = minutes of stall; the
+        # round-3 bench hang traced exactly here).
+        jit_kw = {}
+        if formats is not None and big:
+            jit_kw["out_shardings"] = [formats[wi] for wi in big]
+        gen = jax.jit(_gen, **jit_kw)(jax.random.key(seed)) if big else []
+        gen_by_wi = dict(zip(big, gen))
+        # small/non-float weights: host-convert individually (quant flags,
+        # provider writeback), then ship in ONE batched device_put
+        small_wis, small_arrs, small_dsts = [], [], []
+        for wi, w in enumerate(seg.weight_args):
+            if wi in big_set:
+                continue
+            arr = self._maybe_force_quant(
+                w, self.provider.get(w.name, w.file_dtype, w.shape))
+            target = np.dtype(w.upload_dtype)
+            if arr.dtype != target and w.quant is None:
+                arr = arr.astype(target)
+                self.provider.update(w.name, arr)
+            fmt = formats[wi] if formats is not None else None
+            dst = fmt if fmt is not None else self._weight_shardings.get(
+                w.name, self._device)
+            small_wis.append(wi)
+            small_arrs.append(arr)
+            small_dsts.append(dst)
+        small_dev = jax.device_put(small_arrs, small_dsts) if small_arrs else []
+        by_wi = dict(gen_by_wi)
+        by_wi.update(zip(small_wis, small_dev))
+        return [by_wi[wi] for wi in range(len(seg.weight_args))]
+
     def _fetch_segment_weights(self, seg: Segment, si: int = 0,
                                with_formats: bool = True) -> List[jax.Array]:
         """with_formats=False: upload in DEFAULT layouts. Callers that feed

@@ -41,3 +41,51 @@ YOLO_DIR = "/root/reference/examples/YOLOv8n_wasm/yolov8n_fp32/"
 
 def has_yolo() -> bool:
     return os.path.exists(YOLO_DIR + "model.txt")
+
+
+# ---------------------------------------------------------------- test tiers
+# Duration-based tiering (VERDICT r2 #7): the default tier must stay under
+# ~3 min cold on this 1-core host so rounds never time out on their own
+# safety net; `pytest -m slow` runs the heavy E2E tier (see pyproject.toml).
+# Central list rather than per-file decorators so the policy is auditable in
+# one place; durations measured 2026-08-19 with a cold compile cache.
+_SLOW_BY_NAME = {
+    "test_generate_on_device_multichunk_matches_host",  # 124 s
+    "test_sd15_graph_shape",                            # 45 s
+    "test_qu8_vae_decode_image_parity",                 # 39 s
+    "test_auto_layout_parity",                          # 39 s
+    "test_cfg2_latents_match_sequential",               # 31 s
+    "test_clip_text_encoder_matches_hf",                # 28 s
+    "test_pipeline_parallel_segments_match_single_device",  # 26 s
+    "test_auto_layout_disabled_paths",                  # 26 s
+    "test_shared_cache_keys_include_layout",            # 24 s
+    "test_yolo_e2e",                                    # 18 s
+    "test_tiny_unet_fused_matches_unfused",             # 18 s
+    "test_session_mesh_sharded_inference_matches_single",  # 17 s
+    "test_sdxl_cli",                                    # 17 s
+    "test_generate_batch_xl",                           # 16 s
+    "test_session_parity_fused_vs_decomposed",          # 15 s
+    "test_generate_on_device_xl_turbo",                 # 15 s
+    "test_sharded_forward_matches_single_device",       # 14 s
+    "test_sdxl_turbo_skips_uncond",                     # 13 s
+    "test_extra_output_inside_conv_land",               # 13 s
+    "test_unet_parity_and_patterns",                    # 13 s
+    "test_sd_cli_synthetic",                            # 12 s
+    "test_generate_batch_matches_sequential",           # 12 s
+    "test_packed_heads_fusion_matches_unpacked",        # 12 s
+    "test_tiny_unet_runs_and_fuses",                    # 12 s
+    "test_generate_on_device_stop_truncation_consistent",  # 12 s
+    "test_sd_cli_latents_roundtrip",                    # 11 s
+    "test_whisper_http_example",                        # 11 s
+    # kept in the default tier on purpose: test_generate_on_device_matches_
+    # host (~15 s) is the flagship SD E2E guard.
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    for item in items:
+        base = item.name.split("[", 1)[0]
+        if base in _SLOW_BY_NAME:
+            item.add_marker(_pytest.mark.slow)

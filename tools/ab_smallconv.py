@@ -98,6 +98,18 @@ def conv_im2col(x, w):
     return y.astype(x.dtype).reshape(n, h, wd, o).transpose(0, 3, 1, 2)
 
 
+def conv_pallas(x, w):
+    """im2col + the opaque Pallas MXU matmul (kernels/matmul.py) — the one
+    formulation XLA cannot rewrite back into its own conv schedule."""
+    import jax.numpy as jnp
+
+    from onnxstream_tpu.kernels.matmul import conv3x3_im2col_pallas
+
+    xt = jnp.transpose(x, (0, 2, 3, 1))
+    y = conv3x3_im2col_pallas(xt, w)
+    return jnp.transpose(y, (0, 3, 1, 2))
+
+
 def run_case(shape_name, fn_name, fn):
     import jax
     import jax.numpy as jnp

@@ -1,0 +1,112 @@
+"""Generic SD1.5 UNet step A/B over SessionConfig variants (real chip).
+
+Methodology per docs/tpu_notes.md: warmup forced by a readback, then n
+chained device-resident steps ended by one readback. Big float weights are
+device-synthesized (executor.synthesize_segment_weights, seed-stable across
+variants so outputs stay comparable) — on the tunneled chip this cuts each
+variant's setup from ~10 min of WAN upload to roughly the compile time.
+
+Usage: python tools/ab_unet.py [variant ...]   (default: all)
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ostpu_jaxcache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+VARIANTS = {
+    "base": {},
+    "smallconv": {"use_pallas_smallconv": True},
+    "smallconv_batch2": {"use_pallas_smallconv": True, "_batch": 2},
+    "base_batch2": {"_batch": 2},
+}
+
+
+def main() -> None:
+    sel = [a for a in sys.argv[1:] if not a.startswith("-")] or list(VARIANTS)
+    n_iter = int(os.environ.get("OSTPU_SWEEP_ITERS", "50"))
+
+    import jax
+
+    from onnxstream_tpu.models.sd.unet import build_unet, SD15
+    from onnxstream_tpu.runtime.config import SessionConfig
+    from onnxstream_tpu.runtime.session import Session
+    from onnxstream_tpu.runtime.weights import DictWeightsProvider
+
+    g = build_unet(SD15)
+    text = g.to_text()
+    rng = np.random.RandomState(0)
+    ref_out = {}
+    for name in sel:
+        cfg_kw = dict(VARIANTS[name])
+        batch = cfg_kw.pop("_batch", 1)
+        inputs = {
+            "sample": rng.rand(batch, 4, 64, 64).astype(np.float32),
+            "timestep": np.array([500.0], np.float32),
+            "encoder_hidden_states": rng.rand(batch, 77, 768).astype(np.float32),
+        }
+        t0 = time.time()
+
+        def _mark(stage):
+            print(f"# {name} {stage} t+{time.time() - t0:.0f}s",
+                  file=sys.stderr, flush=True)
+
+        config = SessionConfig(
+            compute_dtype="bfloat16",
+            fuse_ops_in_attention=True,
+            use_flash_attention=True,
+            **cfg_kw,
+        )
+        s = Session(config=config, weights_provider=DictWeightsProvider(g.weights))
+        s.read_string(text)
+        for k, v in inputs.items():
+            s.add_tensor(k, v)
+        ex = s._executor()
+        _mark("session+plan")
+        seg = ex.segments[0]
+        out_name = "out_sample" if "out_sample" in seg.out_names else seg.out_names[0]
+        weights = ex.synthesize_segment_weights(seg)
+        _mark("weights synthesized (dispatched)")
+        acts = {k: jax.device_put(np.asarray(v, np.float32)) for k, v in inputs.items()}
+        cf = ex._compiled(0)
+        _mark("compiled")
+        r = cf(weights, acts)
+        a = dict(acts)
+        a["sample"] = r[out_name]
+        r = cf(weights, a)
+        probe = np.asarray(r[out_name], np.float32)
+        setup_s = time.time() - t0
+        if batch not in ref_out:
+            ref_out[batch] = probe
+        t0 = time.time()
+        for _ in range(n_iter):
+            r = cf(weights, a)
+            a["sample"] = r[out_name]
+        np.asarray(r[out_name])
+        dt_ms = (time.time() - t0) / n_iter * 1e3
+        print(
+            json.dumps(
+                {
+                    "variant": name,
+                    "batch": batch,
+                    "step_ms": round(dt_ms, 2),
+                    "setup_s": round(setup_s, 0),
+                    "graph_ops": len(s.graph.ops),
+                    "max_dev_vs_first": round(
+                        float(np.abs(probe - ref_out[batch]).max()), 4
+                    ),
+                }
+            ),
+            flush=True,
+        )
+        s.close()
+        del weights, acts, r, a, cf, ex, s
+
+
+if __name__ == "__main__":
+    main()
