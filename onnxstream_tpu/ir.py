@@ -37,6 +37,12 @@ class TensorSpec:
     dtype: DType = DType.none  # none => activation/intermediate (runtime dtype)
     scale: float = 0.0  # uint8 quantization params (asymmetric)
     zero_point: int = 0
+    # host-side upload relayout for weights consumed by fused kernels (set by
+    # fusion recognizers, never by the text-IR parser): `transform` names an
+    # entry in runtime.planner.WEIGHT_TRANSFORMS, `file_shape` is the shape
+    # the provider stores; `shape` above is the transformed device shape.
+    transform: Optional[str] = None
+    file_shape: Optional[Tuple[int, ...]] = None
 
     @property
     def is_weight(self) -> bool:

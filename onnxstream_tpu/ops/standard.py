@@ -569,6 +569,31 @@ def _gn_silu_op(ctx: Ctx, op, ins):
     ]
 
 
+@register("ostpu.gn_silu_conv")
+def _gn_silu_conv_op(ctx: Ctx, op, ins):
+    """Fused GroupNorm + affine + SiLU + Conv3x3 (s1 p1 g1), produced by
+    runtime/fusion.fuse_gn_conv. One-HBM-pass Pallas kernel on TPU
+    (kernels/gn_conv.py: taps formed by VMEM lane rolls, weight arrives in
+    the (9, O, C) upload transform); jnp oracle elsewhere. Reference chain:
+    InstanceNormalization + Mul/Add + Sigmoid/Mul + Conv executed op-by-op
+    (src/onnxstream.cpp:4788, :4639)."""
+    x, sg, sb, gamma, beta, w9 = ins[0], ins[1], ins[2], ins[3], ins[4], ins[5]
+    bias = ins[6] if len(ins) > 6 else None
+    groups = op.attr_int("groups")
+    eps = op.attr_float("epsilon", 1e-5)
+    from onnxstream_tpu.kernels.gn_conv import gn_silu_conv
+
+    return [
+        gn_silu_conv(
+            jnp.asarray(x), jnp.asarray(sg), jnp.asarray(sb),
+            jnp.asarray(gamma), jnp.asarray(beta), jnp.asarray(w9),
+            None if bias is None else jnp.asarray(bias),
+            groups=groups, eps=eps,
+            interpret=bool(getattr(ctx.config, "pallas_interpret", False)),
+        )
+    ]
+
+
 @register("InstanceNormalization")
 def _instance_norm(ctx: Ctx, op, ins):
     x, scale, bias = ins

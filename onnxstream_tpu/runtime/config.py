@@ -93,6 +93,14 @@ class SessionConfig:
     # XLA-side im2col concat is 9x activation HBM traffic. Default OFF;
     # kept for odd-shape models where XLA's conv schedule is pathological.
     use_pallas_smallconv: bool = False
+    # fuse GroupNorm -> affine -> SiLU -> Conv3x3(s1 p1 g1) chains into the
+    # one-HBM-pass Pallas kernel (kernels/gn_conv.py). Unlike fuse_groupnorm
+    # (which LOST: the standalone norm kernel evicts the elementwise chain
+    # from XLA's conv fusions) this absorbs the conv itself, so nothing is
+    # left to un-fuse and the taps are formed in VMEM (no im2col HBM blowup).
+    # Default set by the measured UNet-step A/B (tools/ab_unet.py,
+    # docs/tpu_notes.md).
+    fuse_gn_conv: bool = False
     # test-only: run Pallas kernel dispatches in interpret mode so the
     # session-level routing is exercisable on the CPU test backend
     pallas_interpret: bool = False
@@ -171,6 +179,7 @@ class SessionConfig:
             "use_flash_attention": lambda v: setattr(self, "use_flash_attention", v),
             "fuse_attention_heads": lambda v: setattr(self, "fuse_attention_heads", v),
             "fuse_groupnorm": lambda v: setattr(self, "fuse_groupnorm", v),
+            "fuse_gn_conv": lambda v: setattr(self, "fuse_gn_conv", v),
             "use_w8_matmul": lambda v: setattr(self, "use_w8_matmul", v),
             "use_pallas_smallconv": lambda v: setattr(self, "use_pallas_smallconv", v),
             "int8_symmetric_storage": lambda v: setattr(self, "int8_symmetric_storage", v),

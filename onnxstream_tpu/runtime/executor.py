@@ -257,6 +257,17 @@ class Executor:
             return qarr
         return arr
 
+    def _host_weight(self, w: WeightArg) -> np.ndarray:
+        """Provider fetch in file layout, then the WeightArg's upload-time
+        relayout (WEIGHT_TRANSFORMS — e.g. the (O,C,3,3)->(9,O,C) tap-major
+        form the fused gn+silu+conv kernel consumes)."""
+        arr = self.provider.get(w.name, w.file_dtype, w.file_shape or w.shape)
+        if w.transform:
+            from onnxstream_tpu.runtime.planner import WEIGHT_TRANSFORMS
+
+            arr = WEIGHT_TRANSFORMS[w.transform](arr)
+        return arr
+
     def _weight_to_device_input(self, w: WeightArg, arr: np.ndarray, fmt=None):
         """Host-side dtype conversion (once — written back through the
         provider, like the reference's WeightsProvider::update) and async
@@ -266,7 +277,10 @@ class Executor:
         target = np.dtype(w.upload_dtype)
         if arr.dtype != target and w.quant is None:
             arr = arr.astype(target)
-            self.provider.update(w.name, arr)
+            if w.transform is None:
+                # transformed arrays are upload views; the provider keeps
+                # the file layout
+                self.provider.update(w.name, arr)
         dst = fmt if fmt is not None else self._weight_shardings.get(w.name, self._device)
         return jax.device_put(arr, dst)
 
@@ -318,12 +332,12 @@ class Executor:
         for wi, w in enumerate(seg.weight_args):
             if wi in big_set:
                 continue
-            arr = self._maybe_force_quant(
-                w, self.provider.get(w.name, w.file_dtype, w.shape))
+            arr = self._maybe_force_quant(w, self._host_weight(w))
             target = np.dtype(w.upload_dtype)
             if arr.dtype != target and w.quant is None:
                 arr = arr.astype(target)
-                self.provider.update(w.name, arr)
+                if w.transform is None:
+                    self.provider.update(w.name, arr)
             fmt = formats[wi] if formats is not None else None
             dst = fmt if fmt is not None else self._weight_shardings.get(
                 w.name, self._device)
@@ -377,7 +391,7 @@ class Executor:
                     w.symmetric = symmetric
                 out.append(dev)
                 continue
-            arr = self.provider.get(w.name, w.file_dtype, w.shape)
+            arr = self._host_weight(w)
             if self.config.pp_devices:
                 arr = self._maybe_force_quant(w, arr)
                 target = np.dtype(w.upload_dtype)
@@ -916,7 +930,7 @@ class Executor:
 
         weights_env: Dict[str, Any] = {}
         for w in self.plan.arg_weights:
-            arr = self._maybe_force_quant(w, self.provider.get(w.name, w.file_dtype, w.shape))
+            arr = self._maybe_force_quant(w, self._host_weight(w))
             weights_env[w.name] = jnp.asarray(
                 arr if w.quant is not None else arr.astype(w.upload_dtype)
             )

@@ -53,6 +53,28 @@ class WeightArg:
     # symmetric per-channel s8 storage (zero point 0, scale (N,) vector):
     # the operand form of the dynamic int8 decode matmul
     symmetric: bool = False
+    # host-side relayout at upload (fusion recognizers set these through the
+    # TensorSpec): `shape` above is the transformed device-argument shape,
+    # `file_shape` what the provider stores, `transform` the name of the
+    # WEIGHT_TRANSFORMS entry applied in between.
+    transform: Optional[str] = None
+    file_shape: Optional[Tuple[int, ...]] = None
+
+
+def _t9oc(a: np.ndarray) -> np.ndarray:
+    """(O, C, kh, kw) ONNX conv weight -> (kh*kw, O, C) tap-major form for the
+    fused gn+silu+conv Pallas kernel (kernels/gn_conv.py): slicing a VMEM
+    block of (O, C, 3, 3) tap-wise would tile the trailing (3, 3) dims at
+    Mosaic's (8, 128) granularity — a ~100x padding blowup — so the relayout
+    happens once on the host at upload."""
+    o, c, kh, kw = a.shape
+    return np.ascontiguousarray(a.transpose(2, 3, 0, 1).reshape(kh * kw, o, c))
+
+
+# name -> host relayout fn; applied by the executor between provider.get and
+# device_put (and mirrored by run_eager). Transformed weights skip provider
+# writeback — the provider keeps the file layout.
+WEIGHT_TRANSFORMS = {"t9oc": _t9oc}
 
 
 @dataclasses.dataclass
@@ -187,6 +209,8 @@ class _Planner:
                 shape=spec.shape,
                 quant=quant,
                 symmetric=symmetric,
+                transform=spec.transform,
+                file_shape=spec.file_shape,
             )
             self._arg_set[spec.name] = w
             self.arg_weights.append(w)

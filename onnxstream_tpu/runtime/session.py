@@ -72,9 +72,12 @@ class Session:
         or extra outputs change — both passes read the config."""
         from onnxstream_tpu.runtime.layout import rewrite_nhwc
 
-        from onnxstream_tpu.runtime.fusion import fuse_groupnorm
+        from onnxstream_tpu.runtime.fusion import fuse_gn_conv, fuse_groupnorm
 
         self.graph = fuse_attention(self._raw_graph, self.config, self._loader)
+        # conv-absorbing gn fusion first: chains it claims must not be
+        # collapsed into standalone gn_silu ops (which lose on v5e)
+        self.graph = fuse_gn_conv(self.graph, self.config, self._loader)
         self.graph = fuse_groupnorm(self.graph, self.config, self._loader)
         self.graph = rewrite_nhwc(self.graph, self.config,
                                   keep_names=self.config.extra_outputs)

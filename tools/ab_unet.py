@@ -24,6 +24,8 @@ VARIANTS = {
     "smallconv": {"use_pallas_smallconv": True},
     "smallconv_batch2": {"use_pallas_smallconv": True, "_batch": 2},
     "base_batch2": {"_batch": 2},
+    "gnconv": {"fuse_gn_conv": True},
+    "gnconv_batch2": {"fuse_gn_conv": True, "_batch": 2},
 }
 
 
