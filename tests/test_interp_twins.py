@@ -1,0 +1,379 @@
+"""Algorithm twins for api/interp.js's op kernels, tested against numpy.
+
+No JavaScript engine exists in this environment (see test_interp_js.py), so
+the shipped JS cannot be executed in CI. The next-best execution-level check:
+each function below is a *faithful line-by-line port* of the corresponding
+interp.js kernel — same loop structure, same index arithmetic, same odometer
+carries, same bounds math — validated here against numpy oracles on
+adversarial shapes (paddings, strides, groups, broadcasts, negative slice
+indices). A logic bug in the JS (wrong stride, off-by-one bound, bad carry)
+is by construction reproduced in the twin and caught by the oracle.
+
+Ports intentionally preserve JS-isms (explicit odometers, precomputed ox
+bounds, row accumulators) rather than vectorizing — vectorizing would test
+numpy, not the algorithm. When editing interp.js kernels, update the twin.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+
+# --------------------------------------------------------- twins (from JS)
+
+def row_strides(shape):
+    st = [0] * len(shape)
+    acc = 1
+    for i in range(len(shape) - 1, -1, -1):
+        st[i] = acc
+        acc *= shape[i]
+    return st
+
+
+def op_conv(x, w, b, group=1, strides=(1, 1), dilations=(1, 1), pads=(0, 0, 0, 0)):
+    N, C, H, W = x.shape
+    OC, ICg, KH, KW = w.shape
+    g = group
+    sh, sw = strides
+    dh, dw = dilations
+    pt, pl, pb, pr = pads
+    assert C == ICg * g
+    OH = (H + pt + pb - dh * (KH - 1) - 1) // sh + 1
+    OW = (W + pl + pr - dw * (KW - 1) - 1) // sw + 1
+    OCg = OC // g
+    out = np.zeros(N * OC * OH * OW, np.float32)
+    xd, wd = x.ravel(), w.ravel()
+    bd = b.ravel() if b is not None else None
+    row = np.zeros(OW, np.float64)
+    for n in range(N):
+        for oc in range(OC):
+            g_ = oc // OCg
+            bias = bd[oc] if bd is not None else 0.0
+            for oy in range(OH):
+                row[:] = bias
+                iy0 = oy * sh - pt
+                for icg in range(ICg):
+                    ic = g_ * ICg + icg
+                    for ky in range(KH):
+                        iy = iy0 + ky * dh
+                        if iy < 0 or iy >= H:
+                            continue
+                        x_base = ((n * C + ic) * H + iy) * W
+                        w_base = ((oc * ICg + icg) * KH + ky) * KW
+                        for kx in range(KW):
+                            wv = wd[w_base + kx]
+                            xoff = kx * dw - pl
+                            lo = max(0, math.ceil(-xoff / sw))
+                            hi = min(OW, math.ceil((W - xoff) / sw))
+                            for ox in range(lo, hi):
+                                row[ox] += wv * xd[x_base + ox * sw + xoff]
+                out[((n * OC + oc) * OH + oy) * OW:
+                    ((n * OC + oc) * OH + oy) * OW + OW] = row.astype(np.float32)
+    return out.reshape(N, OC, OH, OW)
+
+
+def op_maxpool(x, kernel, strides, pads):
+    N, C, H, W = x.shape
+    kh, kw = kernel
+    sh, sw = strides
+    pt, pl, pb, pr = pads
+    OH = (H + pt + pb - kh) // sh + 1
+    OW = (W + pl + pr - kw) // sw + 1
+    out = np.empty(N * C * OH * OW, np.float32)
+    xd = x.ravel()
+    for nc in range(N * C):
+        x_base, o_base = nc * H * W, nc * OH * OW
+        for oy in range(OH):
+            for ox in range(OW):
+                m = -np.inf
+                iy0, ix0 = oy * sh - pt, ox * sw - pl
+                for ky in range(kh):
+                    iy = iy0 + ky
+                    if iy < 0 or iy >= H:
+                        continue
+                    for kx in range(kw):
+                        ix = ix0 + kx
+                        if ix < 0 or ix >= W:
+                            continue
+                        v = xd[x_base + iy * W + ix]
+                        if v > m:
+                            m = v
+                out[o_base + oy * OW + ox] = m
+    return out.reshape(N, C, OH, OW)
+
+
+def op_binary_broadcast(a, b, fn):
+    """The generic (non-fast-path) broadcast odometer from opBinary."""
+    sa_in, sb_in = list(a.shape), list(b.shape)
+    n = max(len(sa_in), len(sb_in))
+    shape = []
+    for i in range(n):
+        da = sa_in[len(sa_in) - n + i] if len(sa_in) - n + i >= 0 else 1
+        db = sb_in[len(sb_in) - n + i] if len(sb_in) - n + i >= 0 else 1
+        assert da == db or da == 1 or db == 1
+        shape.append(max(da, db))
+    total = int(np.prod(shape))
+    pad = lambda sh: [1] * (n - len(sh)) + sh
+    sa, sb = pad(sa_in), pad(sb_in)
+    sta, stb = row_strides(sa), row_strides(sb)
+    for i in range(n):
+        if sa[i] == 1:
+            sta[i] = 0
+        if sb[i] == 1:
+            stb[i] = 0
+    out = np.empty(total, np.float32)
+    ad, bd = a.ravel(), b.ravel()
+    idx = [0] * n
+    ia = ib = 0
+    for o in range(total):
+        out[o] = fn(ad[ia], bd[ib])
+        for d in range(n - 1, -1, -1):
+            idx[d] += 1
+            ia += sta[d]
+            ib += stb[d]
+            if idx[d] < shape[d]:
+                break
+            idx[d] = 0
+            ia -= shape[d] * sta[d]
+            ib -= shape[d] * stb[d]
+    return out.reshape(shape)
+
+
+def op_transpose(x, perm):
+    n = x.ndim
+    if perm is None:
+        perm = list(range(n - 1, -1, -1))
+    out_shape = [x.shape[p] for p in perm]
+    in_st = row_strides(list(x.shape))
+    perm_st = [in_st[p] for p in perm]
+    total = int(np.prod(out_shape))
+    out = np.empty(total, x.dtype)
+    xd = x.ravel()
+    idx = [0] * n
+    ii = 0
+    for o in range(total):
+        out[o] = xd[ii]
+        for d in range(n - 1, -1, -1):
+            idx[d] += 1
+            ii += perm_st[d]
+            if idx[d] < out_shape[d]:
+                break
+            idx[d] = 0
+            ii -= out_shape[d] * perm_st[d]
+    return out.reshape(out_shape)
+
+
+def op_slice(x, starts, ends, axes):
+    n = x.ndim
+    st = [0] * n
+    en = list(x.shape)
+    for i in range(len(starts)):
+        ax = axes[i] if axes is not None else i
+        if ax < 0:
+            ax += n
+        d = x.shape[ax]
+        s, e = starts[i], ends[i]
+        if s < 0:
+            s += d
+        if e < 0:
+            e += d
+        st[ax] = min(max(s, 0), d)
+        en[ax] = min(max(e, 0), d)
+    out_shape = [max(en[i] - st[i], 0) for i in range(n)]
+    in_st = row_strides(list(x.shape))
+    total = int(np.prod(out_shape))
+    out = np.empty(total, x.dtype)
+    xd = x.ravel()
+    idx = [0] * n
+    base = sum(s * in_st[i] for i, s in enumerate(st))
+    last_len = out_shape[n - 1]
+    o = 0
+    while o < total:
+        out[o:o + last_len] = xd[base:base + last_len]
+        for d in range(n - 2, -1, -1):
+            idx[d] += 1
+            base += in_st[d]
+            if idx[d] < out_shape[d]:
+                break
+            idx[d] = 0
+            base -= out_shape[d] * in_st[d]
+        o += last_len
+    return out.reshape(out_shape)
+
+
+def op_resize_nearest(x, scales):
+    N, C, H, W = x.shape
+    OH, OW = int(H * scales[2]), int(W * scales[3])
+    out = np.empty(N * C * OH * OW, np.float32)
+    map_y = [min(int(oy / scales[2]), H - 1) for oy in range(OH)]
+    map_x = [min(int(ox / scales[3]), W - 1) for ox in range(OW)]
+    xd = x.ravel()
+    for nc in range(N * C):
+        x_base, o_base = nc * H * W, nc * OH * OW
+        for oy in range(OH):
+            ib = x_base + map_y[oy] * W
+            ob = o_base + oy * OW
+            for ox in range(OW):
+                out[ob + ox] = xd[ib + map_x[ox]]
+    return out.reshape(N, C, OH, OW)
+
+
+def op_softmax(x, axis):
+    n = x.ndim
+    if axis < 0:
+        axis += n
+    ax = x.shape[axis]
+    inner = int(np.prod(x.shape[axis + 1:], initial=1))
+    outer = int(np.prod(x.shape[:axis], initial=1))
+    out = np.empty(x.size, np.float32)
+    xd = x.ravel()
+    for o in range(outer):
+        for i in range(inner):
+            base = o * ax * inner + i
+            m = -np.inf
+            for k in range(ax):
+                m = max(m, xd[base + k * inner])
+            sm = 0.0
+            for k in range(ax):
+                e = math.exp(xd[base + k * inner] - m)
+                out[base + k * inner] = e
+                sm += e
+            for k in range(ax):
+                out[base + k * inner] /= sm
+    return out.reshape(x.shape)
+
+
+# ------------------------------------------------------------------ oracles
+
+def _torch_conv(x, w, b, group, strides, dilations, pads):
+    import torch
+    import torch.nn.functional as F
+    pt, pl, pb, pr = pads
+    xt = F.pad(torch.from_numpy(x), (pl, pr, pt, pb))
+    return F.conv2d(xt, torch.from_numpy(w),
+                    torch.from_numpy(b) if b is not None else None,
+                    stride=strides, dilation=dilations, groups=group).numpy()
+
+
+@pytest.mark.parametrize("shape,wshape,group,strides,dilations,pads", [
+    ((1, 3, 8, 9), (4, 3, 3, 3), 1, (1, 1), (1, 1), (1, 1, 1, 1)),
+    ((2, 4, 7, 7), (6, 2, 3, 3), 2, (2, 2), (1, 1), (1, 1, 1, 1)),   # grouped, strided
+    ((1, 2, 6, 6), (3, 2, 1, 1), 1, (1, 1), (1, 1), (0, 0, 0, 0)),   # 1x1
+    ((1, 2, 9, 9), (2, 2, 3, 3), 1, (1, 1), (2, 2), (2, 2, 2, 2)),   # dilated
+    ((1, 3, 10, 10), (4, 3, 3, 3), 1, (2, 2), (1, 1), (1, 0, 0, 1)), # asym pads
+    ((1, 3, 640 // 64, 640 // 64), (16, 3, 3, 3), 1, (2, 2), (1, 1), (1, 1, 1, 1)),
+])
+def test_conv_twin(shape, wshape, group, strides, dilations, pads):
+    rng = np.random.RandomState(0)
+    x = rng.randn(*shape).astype(np.float32)
+    w = rng.randn(*wshape).astype(np.float32)
+    b = rng.randn(wshape[0]).astype(np.float32)
+    got = op_conv(x, w, b, group, strides, dilations, pads)
+    want = _torch_conv(x, w, b, group, strides, dilations, pads)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # no-bias path
+    np.testing.assert_allclose(
+        op_conv(x, w, None, group, strides, dilations, pads),
+        _torch_conv(x, w, None, group, strides, dilations, pads),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_maxpool_twin():
+    import torch
+    import torch.nn.functional as F
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 3, 9, 9).astype(np.float32)
+    got = op_maxpool(x, (5, 5), (1, 1), (2, 2, 2, 2))
+    want = F.max_pool2d(torch.from_numpy(x), 5, stride=1, padding=2).numpy()
+    np.testing.assert_array_equal(got, want)
+    got2 = op_maxpool(x, (2, 2), (2, 2), (0, 0, 0, 0))
+    want2 = F.max_pool2d(torch.from_numpy(x), 2, stride=2).numpy()
+    np.testing.assert_array_equal(got2, want2)
+
+
+@pytest.mark.parametrize("sa,sb", [
+    ((1, 2, 8400), (1, 2, 8400)),
+    ((1, 2, 8400), (1,)),
+    ((3, 1, 5), (1, 4, 5)),
+    ((2, 3, 4), (4,)),
+    ((5, 1), (1, 7)),
+])
+def test_binary_broadcast_twin(sa, sb):
+    rng = np.random.RandomState(2)
+    a = rng.randn(*sa).astype(np.float32)
+    b = rng.randn(*sb).astype(np.float32) + 2.0
+    for fn, np_fn in [(lambda u, v: u + v, np.add), (lambda u, v: u - v, np.subtract),
+                      (lambda u, v: u * v, np.multiply), (lambda u, v: u / v, np.divide)]:
+        np.testing.assert_allclose(op_binary_broadcast(a, b, fn), np_fn(a, b),
+                                   rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("shape,perm", [
+    ((1, 640, 4, 3), (0, 3, 1, 2)),
+    ((1, 144, 84), (0, 2, 1)),
+    ((1, 4, 16, 84), (0, 2, 1, 3)),
+    ((2, 3, 4), None),
+])
+def test_transpose_twin(shape, perm):
+    rng = np.random.RandomState(3)
+    x = rng.randn(*shape).astype(np.float32)
+    want = np.transpose(x, perm)
+    np.testing.assert_array_equal(op_transpose(x, list(perm) if perm else None), want)
+
+
+@pytest.mark.parametrize("shape,starts,ends,axes,expect", [
+    ((1, 6, 6, 4), [0], [3], [3], np.s_[:, :, :, 0:3]),      # the RGBA pre-op
+    ((1, 4, 10), [0], [2], [1], np.s_[:, 0:2, :]),
+    ((1, 4, 10), [2], [4], [1], np.s_[:, 2:4, :]),
+    ((5, 6), [1, -4], [4, 2 ** 50], [0, 1], np.s_[1:4, 2:]),  # negative + clamp
+    ((7,), [2], [5], None, np.s_[2:5]),
+])
+def test_slice_twin(shape, starts, ends, axes, expect):
+    rng = np.random.RandomState(4)
+    x = rng.randn(*shape).astype(np.float32)
+    np.testing.assert_array_equal(op_slice(x, starts, ends, axes), x[expect])
+
+
+def test_resize_nearest_twin():
+    rng = np.random.RandomState(5)
+    x = rng.randn(1, 3, 5, 7).astype(np.float32)
+    got = op_resize_nearest(x, [1, 1, 2, 2])
+    # asymmetric + floor nearest = index repeat
+    want = x.repeat(2, axis=2).repeat(2, axis=3)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("shape,axis", [
+    ((1, 16, 4, 5), 1),   # the DFL softmax axis
+    ((2, 7), -1),
+    ((3, 4, 5), 0),
+])
+def test_softmax_twin(shape, axis):
+    rng = np.random.RandomState(6)
+    x = (rng.randn(*shape) * 3).astype(np.float32)
+    got = op_softmax(x, axis)
+    xm = x - x.max(axis=axis, keepdims=True)
+    want = np.exp(xm) / np.exp(xm).sum(axis=axis, keepdims=True)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_conv_ox_bounds_exhaustive():
+    """The precomputed [lo, hi) output-column range must exactly equal the
+    set of ox with in-bounds ix, for every (W, kx, dilation, pad, stride)
+    combination in a dense small sweep — this is the JS kernel's one clever
+    bit of index math."""
+    for W in (1, 2, 3, 5, 8):
+        for sw in (1, 2, 3):
+            for dw in (1, 2):
+                for pl in (0, 1, 2):
+                    for kx in (0, 1, 2):
+                        OW = (W + 2 * pl - dw * 2 - 1) // sw + 1
+                        if OW <= 0:
+                            continue
+                        xoff = kx * dw - pl
+                        lo = max(0, math.ceil(-xoff / sw))
+                        hi = min(OW, math.ceil((W - xoff) / sw))
+                        valid = [ox for ox in range(OW) if 0 <= ox * sw + xoff < W]
+                        assert list(range(lo, hi)) == valid, \
+                            (W, sw, dw, pl, kx, lo, hi, valid)
