@@ -221,22 +221,33 @@ function broadcastShapes(a, b) {
     return out;
 }
 
-function opBinary(a, b, fn) {
+// dtype rule: int64 op int64 stays int64 (position/shape arithmetic feeding
+// Gather/Less), everything else is float32; comparisons produce "bool"
+// (0/1 in a Float32Array).
+function binaryOutDtype(a, b, forced) {
+    if (forced) return forced;
+    return a.dtype === "int64" && b.dtype === "int64" ? "int64" : "float32";
+}
+const newData = (dtype, n) =>
+    dtype === "int64" ? new Float64Array(n) : new Float32Array(n);
+
+function opBinary(a, b, fn, forcedDtype) {
+    const dtype = binaryOutDtype(a, b, forcedDtype);
     // fast paths: identical shapes, scalar rhs/lhs
     if (String(a.shape) === String(b.shape)) {
-        const out = new Float32Array(a.data.length);
+        const out = newData(dtype, a.data.length);
         for (let i = 0; i < out.length; i++) out[i] = fn(a.data[i], b.data[i]);
-        return { shape: a.shape.slice(), dtype: "float32", data: out };
+        return { shape: a.shape.slice(), dtype, data: out };
     }
     if (b.data.length === 1) {
-        const s = b.data[0], out = new Float32Array(a.data.length);
+        const s = b.data[0], out = newData(dtype, a.data.length);
         for (let i = 0; i < out.length; i++) out[i] = fn(a.data[i], s);
-        return { shape: a.shape.slice(), dtype: "float32", data: out };
+        return { shape: a.shape.slice(), dtype, data: out };
     }
     if (a.data.length === 1) {
-        const s = a.data[0], out = new Float32Array(b.data.length);
+        const s = a.data[0], out = newData(dtype, b.data.length);
         for (let i = 0; i < out.length; i++) out[i] = fn(s, b.data[i]);
-        return { shape: b.shape.slice(), dtype: "float32", data: out };
+        return { shape: b.shape.slice(), dtype, data: out };
     }
     const shape = broadcastShapes(a.shape, b.shape);
     const n = shape.length, total = numel(shape);
@@ -244,7 +255,7 @@ function opBinary(a, b, fn) {
     const sa = pad(a.shape), sb = pad(b.shape);
     const sta = rowStrides(sa), stb = rowStrides(sb);
     for (let i = 0; i < n; i++) { if (sa[i] === 1) sta[i] = 0; if (sb[i] === 1) stb[i] = 0; }
-    const out = new Float32Array(total);
+    const out = newData(dtype, total);
     const idx = new Array(n).fill(0);
     let ia = 0, ib = 0;
     for (let o = 0; o < total; o++) {
@@ -255,7 +266,142 @@ function opBinary(a, b, fn) {
             idx[d] = 0; ia -= shape[d] * sta[d]; ib -= shape[d] * stb[d];
         }
     }
-    return { shape, dtype: "float32", data: out };
+    return { shape, dtype, data: out };
+}
+
+// (cond ? x : y) with full three-way broadcasting.
+function opWhere(c, x, y) {
+    const shape = broadcastShapes(broadcastShapes(c.shape, x.shape), y.shape);
+    const n = shape.length, total = numel(shape);
+    const pad = (sh) => Array(n - sh.length).fill(1).concat(sh);
+    const mk = (t) => {
+        const s = pad(t.shape), st = rowStrides(s);
+        for (let i = 0; i < n; i++) if (s[i] === 1) st[i] = 0;
+        return st;
+    };
+    const stc = mk(c), stx = mk(x), sty = mk(y);
+    const dtype = binaryOutDtype(x, y);
+    const out = newData(dtype, total);
+    const idx = new Array(n).fill(0);
+    let ic = 0, ix = 0, iy = 0;
+    for (let o = 0; o < total; o++) {
+        out[o] = c.data[ic] ? x.data[ix] : y.data[iy];
+        for (let d = n - 1; d >= 0; d--) {
+            idx[d]++; ic += stc[d]; ix += stx[d]; iy += sty[d];
+            if (idx[d] < shape[d]) break;
+            idx[d] = 0;
+            ic -= shape[d] * stc[d]; ix -= shape[d] * stx[d]; iy -= shape[d] * sty[d];
+        }
+    }
+    return { shape, dtype, data: out };
+}
+
+// numpy-semantics batched matmul: (..., M, K) x (..., K, N) with broadcast
+// batch dims; a 2-D rhs is the plain weight case.
+function opMatMul(a, b) {
+    const an = a.shape.length, bn = b.shape.length;
+    if (an < 2 || bn < 2) throw new Error("MatMul: inputs must be >= 2-D");
+    const M = a.shape[an - 2], K = a.shape[an - 1];
+    const Kb = b.shape[bn - 2], N = b.shape[bn - 1];
+    if (K !== Kb) throw new Error(`MatMul: K mismatch ${K} vs ${Kb}`);
+    const batchShape = broadcastShapes(a.shape.slice(0, -2), b.shape.slice(0, -2));
+    const nb = batchShape.length, batch = numel(batchShape);
+    const pad = (sh) => Array(nb - sh.length).fill(1).concat(sh);
+    const sa = pad(a.shape.slice(0, -2)), sb = pad(b.shape.slice(0, -2));
+    // element-offset strides over the batch dims (matrix block = one entry)
+    const sta = new Array(nb).fill(0), stb = new Array(nb).fill(0);
+    for (let i = nb - 1, accA = M * K, accB = K * N; i >= 0; i--) {
+        sta[i] = sa[i] === 1 ? 0 : accA;
+        stb[i] = sb[i] === 1 ? 0 : accB;
+        accA *= sa[i]; accB *= sb[i];
+    }
+    const out = new Float32Array(batch * M * N);
+    const idx = new Array(nb).fill(0);
+    let baseA = 0, baseB = 0;
+    for (let bi = 0; bi < batch; bi++) {
+        const oBase = bi * M * N;
+        for (let m = 0; m < M; m++) {
+            const aRow = baseA + m * K, oRow = oBase + m * N;
+            for (let n2 = 0; n2 < N; n2++) {
+                let acc = 0;
+                for (let k = 0; k < K; k++) acc += a.data[aRow + k] * b.data[baseB + k * N + n2];
+                out[oRow + n2] = Math.fround(acc);
+            }
+        }
+        for (let d = nb - 1; d >= 0; d--) {
+            idx[d]++; baseA += sta[d]; baseB += stb[d];
+            if (idx[d] < batchShape[d]) break;
+            idx[d] = 0; baseA -= batchShape[d] * sta[d]; baseB -= batchShape[d] * stb[d];
+        }
+    }
+    return { shape: batchShape.concat([M, N]), dtype: "float32", data: out };
+}
+
+function opReduceMean(x, axes, keepdims) {
+    const n = x.shape.length;
+    const red = new Set(axes.map(a => a < 0 ? a + n : a));
+    const outShapeKept = x.shape.map((d, i) => red.has(i) ? 1 : d);
+    const outSt = rowStrides(outShapeKept);
+    const mapSt = outSt.map((s, i) => red.has(i) ? 0 : s);
+    const count = x.shape.reduce((acc, d, i) => red.has(i) ? acc * d : acc, 1);
+    const out = new Float32Array(numel(outShapeKept));
+    const idx = new Array(n).fill(0);
+    let oi = 0;
+    for (let i = 0; i < x.data.length; i++) {
+        out[oi] += x.data[i];
+        for (let d = n - 1; d >= 0; d--) {
+            idx[d]++; oi += mapSt[d];
+            if (idx[d] < x.shape[d]) break;
+            idx[d] = 0; oi -= x.shape[d] * mapSt[d];
+        }
+    }
+    for (let i = 0; i < out.length; i++) out[i] /= count;
+    const shape = keepdims ? outShapeKept
+        : x.shape.filter((_, i) => !red.has(i));
+    return { shape: shape.length ? shape : [1], dtype: "float32", data: out };
+}
+
+function opGather(data, indices, axis) {
+    const n = data.shape.length;
+    if (axis < 0) axis += n;
+    const outer = data.shape.slice(0, axis).reduce((a, b) => a * b, 1);
+    const inner = data.shape.slice(axis + 1).reduce((a, b) => a * b, 1);
+    const ax = data.shape[axis];
+    const shape = data.shape.slice(0, axis)
+        .concat(indices.shape, data.shape.slice(axis + 1));
+    const out = newData(data.dtype, Math.max(numel(shape), 0));
+    const rowIn = ax * inner;
+    const nIdx = indices.data.length;
+    for (let o = 0; o < outer; o++)
+        for (let j = 0; j < nIdx; j++) {
+            let k = indices.data[j];
+            if (k < 0) k += ax;
+            if (k < 0 || k >= ax) throw new Error(`Gather: index ${k} out of range ${ax}`);
+            out.set(data.data.subarray(o * rowIn + k * inner, o * rowIn + (k + 1) * inner),
+                    (o * nIdx + j) * inner);
+        }
+    return { shape, dtype: data.dtype, data: out };
+}
+
+// ONNX ScatterND: copy of data with updates written at the index tuples.
+function opScatterND(data, indices, updates) {
+    const n = data.shape.length;
+    const K = indices.shape[indices.shape.length - 1];
+    const slab = data.shape.slice(K).reduce((a, b) => a * b, 1);
+    const st = rowStrides(data.shape);
+    const out = newData(data.dtype, data.data.length);
+    out.set(data.data);
+    const nTuples = indices.data.length / K;
+    for (let t = 0; t < nTuples; t++) {
+        let off = 0;
+        for (let j = 0; j < K; j++) {
+            let v = indices.data[t * K + j];
+            if (v < 0) v += data.shape[j];
+            off += v * st[j];
+        }
+        out.set(updates.data.subarray(t * slab, (t + 1) * slab), off);
+    }
+    return { shape: data.shape.slice(), dtype: data.dtype, data: out };
 }
 
 function opTranspose(x, perm) {
@@ -552,6 +698,55 @@ class InterpModel {
                     break;
                 }
                 case "Softmax": outs = [opSoftmax(get(0), attrInt(a, "axis", -1))]; break;
+                case "MatMul": outs = [opMatMul(get(0), get(1))]; break;
+                case "Identity": {
+                    const x = get(0);
+                    outs = [{ shape: x.shape.slice(), dtype: x.dtype, data: x.data }];
+                    break;
+                }
+                case "Less":
+                    outs = [opBinary(get(0), get(1), (u, v) => u < v ? 1 : 0, "bool")];
+                    break;
+                case "Greater":
+                    outs = [opBinary(get(0), get(1), (u, v) => u > v ? 1 : 0, "bool")];
+                    break;
+                case "Equal":
+                    outs = [opBinary(get(0), get(1), (u, v) => u === v ? 1 : 0, "bool")];
+                    break;
+                case "Where": outs = [opWhere(get(0), get(1), get(2))]; break;
+                case "ReduceMean": {
+                    const x = get(0);
+                    const axes = op.inputs.length > 1 && op.inputs[1].name
+                        ? Array.from(get(1).data)
+                        : attrInts(a, "axes", x.shape.map((_, i) => i));
+                    outs = [opReduceMean(x, axes, attrInt(a, "keepdims", 1) !== 0)];
+                    break;
+                }
+                case "Gather":
+                    outs = [opGather(get(0), get(1), attrInt(a, "axis", 0))];
+                    break;
+                case "ScatterND": outs = [opScatterND(get(0), get(1), get(2))]; break;
+                case "Unsqueeze": {
+                    const x = get(0);
+                    const axes = op.inputs.length > 1 && op.inputs[1].name
+                        ? Array.from(get(1).data) : attrInts(a, "axes", []);
+                    const nOut = x.shape.length + axes.length;
+                    const norm = axes.map(v => v < 0 ? v + nOut : v).sort((u, v) => u - v);
+                    const shape = x.shape.slice();
+                    for (const ax of norm) shape.splice(ax, 0, 1);
+                    outs = [{ shape, dtype: x.dtype, data: x.data }];
+                    break;
+                }
+                case "Squeeze": {
+                    const x = get(0);
+                    const axes = op.inputs.length > 1 && op.inputs[1].name
+                        ? Array.from(get(1).data) : attrInts(a, "axes", []);
+                    const norm = new Set(axes.map(v => v < 0 ? v + x.shape.length : v));
+                    const shape = x.shape.filter((d, i) =>
+                        norm.size ? !norm.has(i) : d !== 1);
+                    outs = [{ shape, dtype: x.dtype, data: x.data }];
+                    break;
+                }
                 case "Flatten": {
                     const x = get(0);
                     const ax = attrInt(a, "axis", 1);

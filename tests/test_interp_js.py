@@ -132,3 +132,18 @@ def test_grammar_agrees_with_python_parser():
         assert fields[0].rsplit(":", 1)[1] == node.op_type
         assert len(fields[1][6:].split(";")) == len(node.inputs)
         assert len(fields[2][7:].split(";")) == len(node.outputs)
+
+
+def test_interp_covers_whisper_graph_ops():
+    """The in-tab interpreter must execute the whisper encoder/decoder graphs
+    (the reference's Whisper WASM example runs in-tab, reference
+    examples/Whisper_wasm/index.html; tools/export_whisper_intab.py ships the
+    same graphs to examples/whisper_browser)."""
+    ops = _interp_ops()
+    from onnxstream_tpu.models.whisper.model import (
+        WHISPER_TINY_TEST, build_decoder, build_encoder)
+    used = set()
+    for g in (build_encoder(WHISPER_TINY_TEST).graph(),
+              build_decoder(WHISPER_TINY_TEST, new_len=4).graph()):
+        used |= {op.op_type for op in g.ops}
+    assert used <= ops, f"whisper needs ops missing from interp.js: {used - ops}"

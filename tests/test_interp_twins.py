@@ -377,3 +377,230 @@ def test_conv_ox_bounds_exhaustive():
                         valid = [ox for ox in range(OW) if 0 <= ox * sw + xoff < W]
                         assert list(range(lo, hi)) == valid, \
                             (W, sw, dw, pl, kx, lo, hi, valid)
+
+
+# ----------------------------------------------- whisper-op twins (from JS)
+
+def op_matmul(a, b):
+    an, bn = a.ndim, b.ndim
+    M, K = a.shape[-2], a.shape[-1]
+    Kb, N = b.shape[-2], b.shape[-1]
+    assert K == Kb
+    batch_shape = list(np.broadcast_shapes(a.shape[:-2], b.shape[:-2]))
+    nb = len(batch_shape)
+    batch = int(np.prod(batch_shape, initial=1))
+    pad = lambda sh: [1] * (nb - len(sh)) + list(sh)
+    sa, sb = pad(a.shape[:-2]), pad(b.shape[:-2])
+    sta, stb = [0] * nb, [0] * nb
+    acc_a, acc_b = M * K, K * N
+    for i in range(nb - 1, -1, -1):
+        sta[i] = 0 if sa[i] == 1 else acc_a
+        stb[i] = 0 if sb[i] == 1 else acc_b
+        acc_a *= sa[i]
+        acc_b *= sb[i]
+    out = np.zeros(batch * M * N, np.float32)
+    ad, bd = a.ravel(), b.ravel()
+    idx = [0] * nb
+    base_a = base_b = 0
+    for bi in range(batch):
+        o_base = bi * M * N
+        for m in range(M):
+            a_row, o_row = base_a + m * K, o_base + m * N
+            for n2 in range(N):
+                acc = 0.0
+                for k in range(K):
+                    acc += ad[a_row + k] * bd[base_b + k * N + n2]
+                out[o_row + n2] = np.float32(acc)
+        for d in range(nb - 1, -1, -1):
+            idx[d] += 1
+            base_a += sta[d]
+            base_b += stb[d]
+            if idx[d] < batch_shape[d]:
+                break
+            idx[d] = 0
+            base_a -= batch_shape[d] * sta[d]
+            base_b -= batch_shape[d] * stb[d]
+    return out.reshape(batch_shape + [M, N])
+
+
+def op_reduce_mean(x, axes, keepdims=True):
+    n = x.ndim
+    red = {a + n if a < 0 else a for a in axes}
+    out_shape_kept = [1 if i in red else d for i, d in enumerate(x.shape)]
+    out_st = row_strides(out_shape_kept)
+    map_st = [0 if i in red else s for i, s in enumerate(out_st)]
+    count = int(np.prod([d for i, d in enumerate(x.shape) if i in red], initial=1))
+    out = np.zeros(int(np.prod(out_shape_kept)), np.float32)
+    xd = x.ravel()
+    idx = [0] * n
+    oi = 0
+    for i in range(xd.size):
+        out[oi] += xd[i]
+        for d in range(n - 1, -1, -1):
+            idx[d] += 1
+            oi += map_st[d]
+            if idx[d] < x.shape[d]:
+                break
+            idx[d] = 0
+            oi -= x.shape[d] * map_st[d]
+    out /= count
+    shape = out_shape_kept if keepdims else \
+        [d for i, d in enumerate(x.shape) if i not in red]
+    return out.reshape(shape if shape else [1])
+
+
+def op_gather(data, indices, axis=0):
+    n = data.ndim
+    if axis < 0:
+        axis += n
+    outer = int(np.prod(data.shape[:axis], initial=1))
+    inner = int(np.prod(data.shape[axis + 1:], initial=1))
+    ax = data.shape[axis]
+    shape = list(data.shape[:axis]) + list(indices.shape) + list(data.shape[axis + 1:])
+    out = np.empty(int(np.prod(shape, initial=1)), data.dtype)
+    dd = data.ravel()
+    row_in = ax * inner
+    flat_idx = indices.ravel()
+    n_idx = flat_idx.size
+    for o in range(outer):
+        for j in range(n_idx):
+            k = int(flat_idx[j])
+            if k < 0:
+                k += ax
+            assert 0 <= k < ax
+            out[(o * n_idx + j) * inner:(o * n_idx + j + 1) * inner] = \
+                dd[o * row_in + k * inner:o * row_in + (k + 1) * inner]
+    return out.reshape(shape)
+
+
+def op_scatter_nd(data, indices, updates):
+    K = indices.shape[-1]
+    slab = int(np.prod(data.shape[K:], initial=1))
+    st = row_strides(list(data.shape))
+    out = data.ravel().copy()
+    ud = updates.ravel()
+    flat = indices.reshape(-1, K)
+    for t in range(flat.shape[0]):
+        off = 0
+        for j in range(K):
+            v = int(flat[t, j])
+            if v < 0:
+                v += data.shape[j]
+            off += v * st[j]
+        out[off:off + slab] = ud[t * slab:(t + 1) * slab]
+    return out.reshape(data.shape)
+
+
+def op_where(c, x, y):
+    shape = list(np.broadcast_shapes(c.shape, x.shape, y.shape))
+    n = len(shape)
+    total = int(np.prod(shape, initial=1))
+    pad = lambda sh: [1] * (n - len(sh)) + list(sh)
+
+    def mk(t):
+        s = pad(t.shape)
+        st = row_strides(s)
+        return [0 if s[i] == 1 else st[i] for i in range(n)]
+
+    stc, stx, sty = mk(c), mk(x), mk(y)
+    out = np.empty(total, np.float32)
+    cd, xd, yd = c.ravel(), x.ravel(), y.ravel()
+    idx = [0] * n
+    ic = ix = iy = 0
+    for o in range(total):
+        out[o] = xd[ix] if cd[ic] else yd[iy]
+        for d in range(n - 1, -1, -1):
+            idx[d] += 1
+            ic += stc[d]
+            ix += stx[d]
+            iy += sty[d]
+            if idx[d] < shape[d]:
+                break
+            idx[d] = 0
+            ic -= shape[d] * stc[d]
+            ix -= shape[d] * stx[d]
+            iy -= shape[d] * sty[d]
+    return out.reshape(shape)
+
+
+@pytest.mark.parametrize("sa,sb", [
+    ((1, 4, 32), (32, 32)),          # weight matmul
+    ((1, 2, 4, 8), (1, 2, 8, 16)),   # attention QK
+    ((2, 1, 3, 5), (1, 4, 5, 6)),    # broadcast batch dims
+    ((3, 4), (4, 5)),                # plain 2-D
+    ((1, 2, 8, 16), (16, 4)),        # 4-D x 2-D
+])
+def test_matmul_twin(sa, sb):
+    rng = np.random.RandomState(7)
+    a = rng.randn(*sa).astype(np.float32)
+    b = rng.randn(*sb).astype(np.float32)
+    np.testing.assert_allclose(op_matmul(a, b), a @ b, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape,axes,keepdims", [
+    ((1, 4, 32), [-1], True),   # the layernorm mean
+    ((2, 3, 4), [0, 2], True),
+    ((2, 3, 4), [1], False),
+    ((5,), [0], True),
+])
+def test_reduce_mean_twin(shape, axes, keepdims):
+    rng = np.random.RandomState(8)
+    x = rng.randn(*shape).astype(np.float32)
+    want = np.mean(x, axis=tuple(a if a >= 0 else a + x.ndim for a in axes),
+                   keepdims=keepdims, dtype=np.float64).astype(np.float32)
+    if not keepdims and want.ndim == 0:
+        want = want.reshape(1)
+    np.testing.assert_allclose(op_reduce_mean(x, axes, keepdims), want,
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("dshape,ishape,axis", [
+    ((64, 32), (1, 4), 0),    # token embedding
+    ((16, 32), (4,), 0),      # positional embedding
+    ((2, 5, 3), (2, 2), 1),
+    ((7,), (3,), 0),
+])
+def test_gather_twin(dshape, ishape, axis):
+    rng = np.random.RandomState(9)
+    data = rng.randn(*dshape).astype(np.float32)
+    idx = rng.randint(-dshape[axis], dshape[axis], ishape).astype(np.int64)
+    np.testing.assert_array_equal(op_gather(data, idx, axis),
+                                  np.take(data, idx, axis=axis))
+
+
+def test_scatter_nd_twin():
+    rng = np.random.RandomState(10)
+    # the KV-cache write shape: (layers, 1, ctx, d), tuples (L_new, 3)
+    data = rng.randn(2, 1, 16, 32).astype(np.float32)
+    upd = rng.randn(4, 32).astype(np.float32)
+    idx = np.array([[1, 0, 3], [0, 0, 0], [1, 0, 15], [0, 0, 7]], np.int64)
+    got = op_scatter_nd(data, idx, upd)
+    want = data.copy()
+    for t in range(4):
+        want[tuple(idx[t])] = upd[t]
+    np.testing.assert_array_equal(got, want)
+    # full-depth tuples (K == data.ndim, scalar slabs)
+    d2 = rng.randn(3, 4).astype(np.float32)
+    u2 = np.array([9.0, 8.0], np.float32)
+    i2 = np.array([[0, 1], [2, 3]], np.int64)
+    got2 = op_scatter_nd(d2, i2, u2)
+    want2 = d2.copy()
+    want2[0, 1] = 9.0
+    want2[2, 3] = 8.0
+    np.testing.assert_array_equal(got2, want2)
+
+
+def test_where_twin():
+    rng = np.random.RandomState(11)
+    c = (rng.rand(1, 1, 4, 16) > 0.5).astype(np.float32)
+    x = np.float32([0.0]).reshape(1)       # scalar branches, like the mask op
+    y = np.float32([-1e9]).reshape(1)
+    got = op_where(c, x, y)
+    want = np.where(c.astype(bool), x, y).astype(np.float32)
+    np.testing.assert_array_equal(got, want)
+    # dense branches with broadcasting
+    x2 = rng.randn(3, 1, 5).astype(np.float32)
+    y2 = rng.randn(1, 4, 5).astype(np.float32)
+    c2 = (rng.rand(3, 4, 5) > 0.3).astype(np.float32)
+    np.testing.assert_array_equal(op_where(c2, x2, y2),
+                                  np.where(c2.astype(bool), x2, y2))
