@@ -432,7 +432,10 @@ function opConcat(inputs, axis) {
     outShape[axis] = inputs.reduce((a, t) => a + t.shape[axis], 0);
     const outer = inputs[0].shape.slice(0, axis).reduce((a, b) => a * b, 1);
     const inner = inputs[0].shape.slice(axis + 1).reduce((a, b) => a * b, 1);
-    const out = new Float32Array(numel(outShape));
+    // dtype propagates like opBinary: int64 only when EVERY input is int64
+    // (shape/index concats feeding Reshape/Gather must stay integer-typed)
+    const dtype = inputs.every(t => t.dtype === "int64") ? "int64" : "float32";
+    const out = newData(dtype, numel(outShape));
     const rowOut = outShape[axis] * inner;
     let off = 0;
     for (const t of inputs) {
@@ -441,7 +444,7 @@ function opConcat(inputs, axis) {
             out.set(t.data.subarray(o * rowIn, (o + 1) * rowIn), o * rowOut + off);
         off += rowIn;
     }
-    return { shape: outShape, dtype: "float32", data: out };
+    return { shape: outShape, dtype, data: out };
 }
 
 function opSplit(x, sizes, axis) {
@@ -674,9 +677,21 @@ class InterpModel {
                     break;
                 case "Split": {
                     const x = get(0);
-                    const sizes = op.inputs.length > 1 && op.inputs[1].name
-                        ? Array.from(get(1).data)
-                        : op.outputs.map(() => x.shape[attrInt(a, "axis", 0)] / op.outputs.length);
+                    // sizes: 'split' attr first, then input 1, then the
+                    // ceil-based uneven default (last chunk takes the
+                    // remainder) — the Python twin's order (ops/standard.py
+                    // _split)
+                    let sizes = attrInts(a, "split", null);
+                    if (!sizes && op.inputs.length > 1 && op.inputs[1].name)
+                        sizes = Array.from(get(1).data);
+                    if (!sizes) {
+                        let ax = attrInt(a, "axis", 0);
+                        if (ax < 0) ax += x.shape.length;
+                        const d = x.shape[ax], nOut = op.outputs.length;
+                        const base = Math.ceil(d / nOut);
+                        sizes = op.outputs.map((_, i) =>
+                            i === nOut - 1 ? d - base * (nOut - 1) : base);
+                    }
                     outs = opSplit(x, sizes, attrInt(a, "axis", 0));
                     break;
                 }

@@ -115,8 +115,9 @@ def matmul_pallas(a, b, bias=None, *, out_dtype=None, bm: int = 0,
 
 def matmul_supported(m: int, k: int, n: int) -> bool:
     """Shapes the kernel handles without masking: lane dims 128-aligned,
-    M a multiple of 16 (or tiny enough to be one 8-aligned block)."""
-    return k % 128 == 0 and n % 128 == 0 and (m % 16 == 0 or m % 8 == 0)
+    M a multiple of 16, or an 8-aligned M small enough that _pick_block's
+    whole-dim fallback (a single M block) keeps a bounded VMEM working set."""
+    return k % 128 == 0 and n % 128 == 0 and (m % 16 == 0 or (m % 8 == 0 and m <= 1024))
 
 
 def conv3x3_im2col_pallas(x_nhwc, w_oihw, bias=None, *, out_dtype=None,

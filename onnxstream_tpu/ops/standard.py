@@ -565,6 +565,7 @@ def _gn_silu_op(ctx: Ctx, op, ins):
             jnp.asarray(x), jnp.asarray(sg), jnp.asarray(sb),
             jnp.asarray(gamma), jnp.asarray(beta),
             groups=groups, eps=eps, silu=silu,
+            interpret=bool(getattr(ctx.config, "pallas_interpret", False)),
         )
     ]
 
