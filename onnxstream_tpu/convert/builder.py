@@ -39,8 +39,51 @@ class T:
         return len(self.shape)
 
 
+class LazyArray:
+    """Shape/dtype-known weight placeholder whose data generates on demand.
+
+    Built by GraphBuilder(lazy_weights=True) + gen_weight(shape=...): the
+    multi-GB synthetic LLM weights never materialize on the host when the
+    executor device-synthesizes them (SessionConfig.synthetic_device_weights)
+    — `make()` only runs if someone actually reads the array (e.g. a
+    CPU-oracle test or the static-weight planner)."""
+
+    def __init__(self, shape, dtype, make):
+        self.shape = tuple(int(s) for s in shape)
+        self.dtype = np.dtype(dtype)
+        self._make = make
+        self._arr: Optional[np.ndarray] = None
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    @property
+    def size(self) -> int:
+        return int(np.prod(self.shape)) if self.shape else 1
+
+    @property
+    def nbytes(self) -> int:
+        return self.size * self.dtype.itemsize
+
+    def materialize(self) -> np.ndarray:
+        if self._arr is None:
+            arr = np.ascontiguousarray(self._make())
+            assert tuple(arr.shape) == self.shape and arr.dtype == self.dtype, (
+                f"lazy weight declared {self.shape}/{self.dtype}, "
+                f"make() produced {arr.shape}/{arr.dtype}"
+            )
+            self._arr = arr
+        return self._arr
+
+    def __array__(self, dtype=None):
+        a = self.materialize()
+        return a.astype(dtype) if dtype is not None else a
+
+
 class GraphBuilder:
-    def __init__(self, seed: int = 0, weight_bank: Optional[Dict[str, np.ndarray]] = None):
+    def __init__(self, seed: int = 0, weight_bank: Optional[Dict[str, np.ndarray]] = None,
+                 lazy_weights: bool = False):
         self.ops: List[OpNode] = []
         self.weights: Dict[str, np.ndarray] = {}
         self.rng = np.random.default_rng(seed)
@@ -49,6 +92,9 @@ class GraphBuilder:
         # dict here so the multi-GB synthetic weights are generated ONCE —
         # rebuilding the TinyLlama graph drops from ~140 s to ~2 s
         self.weight_bank = weight_bank
+        # lazy_weights: gen_weight(shape=...) stores LazyArray placeholders
+        # instead of materialized arrays, for device-side synthesis
+        self.lazy_weights = lazy_weights
         self._n = 0
 
     # ------------------------------------------------------------- plumbing
@@ -59,26 +105,34 @@ class GraphBuilder:
     def input(self, name: str, shape: Sequence[int]) -> T:
         return T(name, tuple(shape))
 
-    def weight(self, name: str, arr: np.ndarray) -> TensorSpec:
-        arr = np.ascontiguousarray(arr)
+    def weight(self, name: str, arr) -> TensorSpec:
+        if not isinstance(arr, LazyArray):
+            arr = np.ascontiguousarray(arr)
         if not name.endswith(".bin"):
             name = name + ".bin"
         if name in self.weights:
-            if self.weights[name] is not arr and self.weights[name].shape != arr.shape:
+            if self.weights[name] is not arr and tuple(self.weights[name].shape) != tuple(arr.shape):
                 raise ValueError(f"conflicting weight {name}")
         else:
             self.weights[name] = arr
         return TensorSpec(name=name, shape=tuple(arr.shape), dtype=DType.from_np(arr.dtype))
 
-    def gen_weight(self, name: str, make) -> TensorSpec:
+    def gen_weight(self, name: str, make, shape=None, dtype=np.float32) -> TensorSpec:
         """weight() with bank-aware lazy generation: `make()` only runs when
-        the array is not already in the weight_bank."""
+        the array is not already in the weight_bank. With lazy_weights and a
+        declared `shape`, a LazyArray placeholder is stored instead — the
+        data only materializes if something host-reads it."""
         full = name if name.endswith(".bin") else name + ".bin"
         if self.weight_bank is not None:
             arr = self.weight_bank.get(full)
             if arr is None:
-                arr = np.ascontiguousarray(make())
+                if self.lazy_weights and shape is not None:
+                    arr = LazyArray(shape, dtype, make)
+                else:
+                    arr = np.ascontiguousarray(make())
                 self.weight_bank[full] = arr
+        elif self.lazy_weights and shape is not None:
+            arr = LazyArray(shape, dtype, make)
         else:
             arr = make()
         return self.weight(name, arr)
@@ -186,10 +240,10 @@ class GraphBuilder:
         """x (..., din) @ W(din, dout) [+ b] — the converted-linear shape."""
         din = x.shape[-1]
         nm = name or self._name("linear")
-        w = self.gen_weight(f"{nm}.weight", lambda: self.randn(din, dout))
+        w = self.gen_weight(f"{nm}.weight", lambda: self.randn(din, dout), shape=(din, dout))
         y = self.emit("MatMul", [x, w], [x.shape[:-1] + (dout,)], name=nm + "/MatMul")
         if bias:
-            b = self.gen_weight(f"{nm}.bias", lambda: self.randn(dout, scale=0.01))
+            b = self.gen_weight(f"{nm}.bias", lambda: self.randn(dout, scale=0.01), shape=(dout,))
             y = self.emit("Add", [y, b], [y.shape], name=nm + "/Add")
         return y
 

@@ -61,7 +61,7 @@ def _rope_tables(cfg: LlamaConfig) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def build_llama(cfg: LlamaConfig, new_len: int = 1, past: int = 0, seed: int = 0,
-                weight_bank=None) -> GraphBuilder:
+                weight_bank=None, lazy_weights: bool = False) -> GraphBuilder:
     """One (L=new_len, P=past_bucket) graph.
 
     Inputs: input_ids (1,L) int64, position_ids (1,L) int64,
@@ -75,7 +75,7 @@ def build_llama(cfg: LlamaConfig, new_len: int = 1, past: int = 0, seed: int = 0
                       as pkv with zero host work;
               past=0: the fresh (1, kv_heads, L, head_dim) cache.
     """
-    g = GraphBuilder(seed=seed, weight_bank=weight_bank)
+    g = GraphBuilder(seed=seed, weight_bank=weight_bank, lazy_weights=lazy_weights)
     L, P = new_len, past
     d, H, KV, hd = cfg.dim, cfg.heads, cfg.kv_heads, cfg.head_dim
     Ttot = P if P else L  # attention span: the KV bucket, or the prefill len
@@ -84,7 +84,8 @@ def build_llama(cfg: LlamaConfig, new_len: int = 1, past: int = 0, seed: int = 0
     position_ids = g.input("position_5F_ids", (1, L))
     cache_len = g.input("cache_5F_len", (1,)) if P else None
 
-    embed = g.gen_weight("model.embed_tokens.weight", lambda: g.randn(cfg.vocab_size, d, scale=0.02))
+    embed = g.gen_weight("model.embed_tokens.weight", lambda: g.randn(cfg.vocab_size, d, scale=0.02),
+                         shape=(cfg.vocab_size, d))
     x = g.emit("Gather", [embed, input_ids], [(1, L, d)], {"axis": 0}, name="embed/gather")
 
     cos_tab, sin_tab = _rope_tables(cfg)
@@ -208,7 +209,8 @@ def build_llama(cfg: LlamaConfig, new_len: int = 1, past: int = 0, seed: int = 0
         x = g.add(x, down, name=f"{nm}/res2")
 
     x = rmsnorm(x, "model.norm")
-    head = g.gen_weight("lm_head.weight", lambda: g.randn(d, cfg.vocab_size, scale=0.02))
+    head = g.gen_weight("lm_head.weight", lambda: g.randn(d, cfg.vocab_size, scale=0.02),
+                        shape=(d, cfg.vocab_size))
     logits_t = g.emit("MatMul", [x, head], [(1, L, cfg.vocab_size)], name="lm_head", out_names=["logits_all"])
     g.emit("Identity", [logits_t], [(1, L, cfg.vocab_size)], name="logits_out", out_names=["logits"])
     # greedy next token computed in-graph: only 8 bytes leave the device per

@@ -143,6 +143,19 @@ class SessionConfig:
     # and decode-bucket graphs reuse one upload); keyed by weight name
     shared_device_weight_cache: Optional[dict] = None
     shared_cache_min_bytes: int = 1 << 20  # only weights this big are shared
+    # perf-harness mode: big float weights (and symmetric-s8 force-quantized
+    # weights) are GENERATED ON DEVICE at fetch time instead of fetched from
+    # the provider and uploaded — dense timing is value-independent, and on
+    # the tunneled dev chip a multi-GB upload costs minutes (the reason three
+    # rounds of bench never captured a TinyLlama number). Composes with
+    # GraphBuilder(lazy_weights=True) so the host never materializes the
+    # arrays either. NOT for accuracy runs.
+    synthetic_device_weights: bool = False
+    # smallest weight (in ELEMENTS) eligible for device synthesis; smaller
+    # tensors stay real (they may steer control structure). Perf harnesses
+    # drop this to synthesize everything float/quantized (tools/ab_unet.py
+    # W8A8 mode)
+    synthetic_min_elements: int = 1 << 18
 
     # quantization calibration data: op_name -> (min, max)
     range_data: Dict[str, tuple] = dataclasses.field(default_factory=dict)

@@ -349,6 +349,87 @@ class Executor:
         by_wi.update(zip(small_wis, small_dev))
         return [by_wi[wi] for wi in range(len(seg.weight_args))]
 
+    def _synth_kind(self, w: WeightArg) -> Optional[str]:
+        """What kind of device-side generation (if any) can stand in for this
+        weight under synthetic_device_weights: 'normal' for big plain float
+        weights, 's8' for big symmetric force-quantized 2-D weights (the int8
+        decode storage form). Everything else — small tensors, index tables,
+        masks, pre-quantized uint8, transformed uploads — must be real.
+
+        The size gate is on ELEMENT count (default 256K ~ 1 MB of f32): the
+        cost being avoided is host materialization + upload of the f32
+        source, so an s8-stored weight (1 byte/element on device) gates the
+        same as its float form."""
+        nelem = int(np.prod(w.shape)) if w.shape else 1
+        if nelem < self.config.synthetic_min_elements or w.transform is not None:
+            return None
+        dt = np.dtype(w.upload_dtype)
+        if w.quant is None and dt.kind == "f" and w.file_dtype.is_float:
+            return "normal"
+        if (w.symmetric and dt == np.dtype(np.int8)
+                and w.name in self.config.force_uint8_storage_set):
+            return "s8"
+        if (w.quant is not None and not w.symmetric
+                and dt == np.dtype(np.uint8) and w.file_dtype == DType.uint8):
+            # IR-quantized uint8 weight (text `uint8[scale,zp]` spec): the
+            # (scale, zp) are already on the WeightArg from the parse
+            return "u8"
+        return None
+
+    def _synthesize_missing(self, seg: Segment, formats, resident: bool,
+                            shared_key) -> Dict[str, jax.Array]:
+        """synthetic_device_weights pre-pass for _fetch_segment_weights:
+        device-generate every cache-missing synthesizable weight of this
+        segment in ONE jitted program (per-array host->device round trips are
+        ~0.5 s of control-channel RPC each over the tunneled chip), insert
+        resident results into the same caches the fetch path uses, and return
+        {name: device_array}. The LLM bench path: the host never materializes
+        the multi-GB arrays at all (GraphBuilder lazy_weights)."""
+        plan_items = []
+        for wi, w in enumerate(seg.weight_args):
+            fmt = formats[wi] if formats is not None else None
+            key = shared_key(w, fmt)
+            hit = (self._device_weight_cache.get(key) if key is not None
+                   else self._private_weight_cache.get(w.name))
+            if hit is not None:
+                continue
+            kind = self._synth_kind(w)
+            if kind is not None:
+                plan_items.append((wi, w, fmt, key, kind))
+        if not plan_items:
+            return {}
+        specs = [(tuple(w.shape), np.dtype(w.upload_dtype), kind)
+                 for _, w, _, _, kind in plan_items]
+
+        def _gen(key0):
+            outs = []
+            for i, (shp, dt, kind) in enumerate(specs):
+                k = jax.random.fold_in(key0, i)
+                if kind == "s8":
+                    outs.append(jax.random.randint(k, shp, -127, 128, jnp.int8))
+                else:
+                    outs.append((0.02 * jax.random.normal(k, shp, jnp.float32)).astype(dt))
+            return outs
+
+        jit_kw = {}
+        if formats is not None:
+            jit_kw["out_shardings"] = [fmt for _, _, fmt, _, _ in plan_items]
+        gen = jax.jit(_gen, **jit_kw)(jax.random.key(0))
+        out_by_name: Dict[str, jax.Array] = {}
+        for (wi, w, fmt, key, kind), dev in zip(plan_items, gen):
+            if kind == "s8":
+                # a flat per-channel scale: decode math only needs the dtypes
+                # and shapes to be the real ones
+                w.quant = (np.full((w.shape[-1],), 0.02 / 127.0, np.float32), 0.0)
+                w.symmetric = True
+            if resident:
+                if key is not None:
+                    self._device_weight_cache[key] = (dev, w.quant, w.symmetric)
+                else:
+                    self._private_weight_cache[w.name] = (dev, w.quant, w.symmetric)
+            out_by_name[w.name] = dev
+        return out_by_name
+
     def _fetch_segment_weights(self, seg: Segment, si: int = 0,
                                with_formats: bool = True) -> List[jax.Array]:
         """with_formats=False: upload in DEFAULT layouts. Callers that feed
@@ -376,12 +457,18 @@ class Executor:
             return None
 
         resident = self.config.hbm_budget_bytes == 0 or self.config.pp_devices
+        synth: Dict[str, jax.Array] = {}
+        if self.config.synthetic_device_weights and not self.config.pp_devices:
+            synth = self._synthesize_missing(seg, formats, resident, shared_key)
         out = []
         for wi, w in enumerate(seg.weight_args):
             fmt = formats[wi] if formats is not None else None
             key = shared_key(w, fmt)
             hit = (self._device_weight_cache.get(key) if key is not None
                    else self._private_weight_cache.get(w.name))
+            if hit is None and w.name in synth:
+                out.append(synth[w.name])
+                continue
             if hit is not None:
                 dev, quant, symmetric = hit
                 # a shared hit must carry its quantization params to THIS

@@ -324,6 +324,8 @@ class DictWeightsProvider(WeightsProvider):
 
     def get(self, name, dtype, shape):
         arr = self.weights[name]
+        if hasattr(arr, "materialize"):  # LazyArray: host-read forces make()
+            arr = arr.materialize()
         nelem = int(np.prod(shape)) if shape else 1
         if arr.size != nelem:
             raise ValueError(f"{name}: expected {nelem} elements, got {arr.size}")

@@ -50,6 +50,7 @@ def has_yolo() -> bool:
 # Central list rather than per-file decorators so the policy is auditable in
 # one place; durations measured 2026-08-19 with a cold compile cache.
 _SLOW_BY_NAME = {
+    "test_w8a8_unet_output_parity",                     # 188 s
     "test_generate_on_device_multichunk_matches_host",  # 124 s
     "test_sd15_graph_shape",                            # 45 s
     "test_qu8_vae_decode_image_parity",                 # 39 s

@@ -604,3 +604,73 @@ def test_where_twin():
     c2 = (rng.rand(3, 4, 5) > 0.3).astype(np.float32)
     np.testing.assert_array_equal(op_where(c2, x2, y2),
                                   np.where(c2.astype(bool), x2, y2))
+
+
+# ------------------------------------------------------- JS<->twin lockstep
+# Content-hash lock (VERDICT r3 #7): each twinned interp.js kernel's function
+# body is hashed here. Editing the JS without re-porting its twin (and
+# re-recording the hash) fails this test — the "twins" cannot silently stop
+# being twins. Regenerate after a deliberate twin update with:
+#   python tests/test_interp_twins.py --hashes
+
+JS_TWIN_HASHES = {
+    "opConv": "72e30d22196d4469",
+    "opMaxPool": "9f743ac229af717b",
+    "opBinary": "5367648306408f2c",
+    "opWhere": "8932a0bda4e7ccfd",
+    "opMatMul": "0a0cf1c4a8a6a2aa",
+    "opReduceMean": "833d8339ffd5c1c8",
+    "opGather": "73efaeb6a6012fe6",
+    "opScatterND": "f6318fd42c1583ec",
+    "opTranspose": "28cc097dfdb8a001",
+    "opSlice": "b5efc7acbcdbc9a5",
+    "opResizeNearest": "038257ef722f17bf",
+    "opSoftmax": "8ab6656429169dc5",
+}
+
+_INTERP_JS = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "..", "onnxstream_tpu", "api", "interp.js",
+)
+
+
+def _js_function_hash(src: str, name: str) -> str:
+    import hashlib
+
+    i = src.index(f"function {name}(")
+    j = src.index("{", i)
+    depth = 0
+    for k in range(j, len(src)):
+        if src[k] == "{":
+            depth += 1
+        elif src[k] == "}":
+            depth -= 1
+            if depth == 0:
+                body = src[i:k + 1]
+                norm = "\n".join(l.rstrip() for l in body.splitlines())
+                return hashlib.sha256(norm.encode()).hexdigest()[:16]
+    raise ValueError(f"unbalanced braces in {name}")
+
+
+def test_js_twin_lockstep():
+    src = open(_INTERP_JS).read()
+    stale = {}
+    for name, want in JS_TWIN_HASHES.items():
+        got = _js_function_hash(src, name)
+        if got != want:
+            stale[name] = got
+    assert not stale, (
+        f"interp.js kernels changed without a twin re-port: {stale}. "
+        "Re-port the Python twin(s) above to match the JS, re-run the twin "
+        "oracle tests, then update JS_TWIN_HASHES (python "
+        "tests/test_interp_twins.py --hashes prints current values)."
+    )
+
+
+if __name__ == "__main__":
+    import sys
+
+    if "--hashes" in sys.argv:
+        _src = open(_INTERP_JS).read()
+        for _n in JS_TWIN_HASHES:
+            print(f'    "{_n}": "{_js_function_hash(_src, _n)}",')

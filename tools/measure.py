@@ -17,11 +17,18 @@ import sys
 import time
 
 # repo-local persistent compile cache (survives across driver runs; /tmp
-# does not) — shared with bench.py so its children warm-start
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache", "jax_bench"),
+# does not) — shared with bench.py so its children warm-start. Set through
+# jax.config, NOT the env var: this environment's sitecustomize imports jax
+# before any script body runs, so the env var is read too late.
+_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache", "jax_bench"
 )
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
@@ -87,36 +94,71 @@ def measure_sdxl() -> None:
     )
 
 
-def _measure_llm(cfg_name: str, int8: bool = False) -> None:
-    from onnxstream_tpu.models.llm.llama import TINYLLAMA, MISTRAL, param_count
+def _llm_tok_s(cfg, int8: bool, n: int, synthetic_on_device: bool) -> dict:
+    """One timed decode measurement: warm with the identical call so every
+    (L, past-bucket) graph the timed run touches is already compiled, then
+    time a fresh prefill + on-device decode (token ids leaving the chip force
+    completion)."""
     from onnxstream_tpu.models.llm.pipeline import LlamaPipeline
 
-    from onnxstream_tpu.models.llm.llama import LLAMA_TINY
-    base = cfg_name[:-5] if cfg_name.endswith("-int8") else cfg_name
-    cfg = {"tinyllama": TINYLLAMA, "mistral": MISTRAL}[base] if not TINY else LLAMA_TINY
-    pipe = LlamaPipeline(cfg, compute_dtype="bfloat16", int8_weights=int8)
+    pipe = LlamaPipeline(cfg, compute_dtype="bfloat16", int8_weights=int8,
+                         synthetic_on_device=synthetic_on_device)
     prompt_ids = list(range(200, 232))  # 32-token synthetic prompt
-    n = 128
-    # warm with the identical call so every (L, past-bucket) graph the timed
-    # run will touch is already compiled
     pipe.generate_on_device(prompt_ids, max_new_tokens=n)
     pipe.reset()
     t0 = time.time()
     out = pipe.generate_on_device(prompt_ids, max_new_tokens=n)
     dt = time.time() - t0
-    ntok = len(out)
+    return {"tok_s": round(len(out) / dt, 1), "new_tokens": len(out),
+            "wall_s": round(dt, 2)}
+
+
+def _measure_llm(cfg_name: str, int8: bool = False, fast: bool = False) -> None:
+    from onnxstream_tpu.models.llm.llama import TINYLLAMA, MISTRAL, LLAMA_TINY, param_count
+
+    base = cfg_name[:-5] if cfg_name.endswith("-int8") else cfg_name
+    cfg = {"tinyllama": TINYLLAMA, "mistral": MISTRAL}[base] if not TINY else LLAMA_TINY
+    # device-synthesized weights by default: dense decode timing is value-
+    # independent and the tunneled host link makes a real multi-GB upload a
+    # multi-minute stall (OSTPU_MEASURE_UPLOAD=1 restores host weights)
+    synth = os.environ.get("OSTPU_MEASURE_UPLOAD", "") != "1"
+    n = 64 if fast else 128
+    r = _llm_tok_s(cfg, int8, n, synth)
     _emit(
         metric=f"{cfg_name}_decode_tok_s",
-        tok_s=round(ntok / dt, 1),
-        new_tokens=ntok,
-        wall_s=round(dt, 2),
         params_m=round(param_count(cfg) / 1e6, 0),
+        weights="synthetic-device" if synth else "synthetic-host-upload",
+        **r,
+    )
+
+
+def measure_llm_bench(fast: bool = True) -> None:
+    """The bench.py child: bf16 AND int8 TinyLlama decode in ONE process so
+    the int8 speedup is a same-hour ratio (the tunnel's hour-to-hour rate
+    swings make cross-run comparisons meaningless — docs/tpu_notes.md)."""
+    from onnxstream_tpu.models.llm.llama import TINYLLAMA, LLAMA_TINY, param_count
+
+    cfg = TINYLLAMA if not TINY else LLAMA_TINY
+    synth = os.environ.get("OSTPU_MEASURE_UPLOAD", "") != "1"
+    n = 64 if fast else 128
+    bf16 = _llm_tok_s(cfg, False, n, synth)
+    int8 = _llm_tok_s(cfg, True, n, synth)
+    _emit(
+        metric="tinyllama_decode_tok_s",
+        tok_s=bf16["tok_s"],
+        new_tokens=bf16["new_tokens"],
+        wall_s=bf16["wall_s"],
+        int8_tok_s=int8["tok_s"],
+        int8_ratio=round(int8["tok_s"] / max(bf16["tok_s"], 1e-9), 3),
+        params_m=round(param_count(cfg) / 1e6, 0),
+        weights="synthetic-device" if synth else "synthetic-host-upload",
     )
 
 
 def main() -> None:
     global TINY
     TINY = "--tiny" in sys.argv
+    fast = "--fast" in sys.argv
     sel = set(a for a in sys.argv[1:] if not a.startswith("-")) or {
         "sd15",
         "sdxl",
@@ -127,9 +169,11 @@ def main() -> None:
         measure_sd15()
     if "sdxl" in sel:
         measure_sdxl()
+    if "tinyllama-bench" in sel:
+        measure_llm_bench(fast=True)
     for name in ("tinyllama", "tinyllama-int8", "mistral", "mistral-int8"):
         if name in sel:
-            _measure_llm(name, int8=name.endswith("-int8"))
+            _measure_llm(name, int8=name.endswith("-int8"), fast=fast)
 
 
 if __name__ == "__main__":
