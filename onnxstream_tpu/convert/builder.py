@@ -216,12 +216,16 @@ class GraphBuilder:
         if pad is None:
             pad = k // 2
         nm = name or self._name("conv")
-        wspec = self.weight(f"{nm}.weight_nchw", self.randn(cout, cin // groups, k, k))
+        wshape = (cout, cin // groups, k, k)
+        wspec = self.gen_weight(f"{nm}.weight_nchw",
+                                lambda: self.randn(*wshape), shape=wshape)
         ho = (h + 2 * pad - k) // stride + 1
         wo = (w_ + 2 * pad - k) // stride + 1
         ins = [x, wspec]
         if bias:
-            ins.append(self.weight(f"{nm}.bias", self.randn(cout, scale=0.01)))
+            ins.append(self.gen_weight(f"{nm}.bias",
+                                       lambda: self.randn(cout, scale=0.01),
+                                       shape=(cout,)))
         return self.emit(
             "Conv",
             ins,

@@ -258,17 +258,27 @@ def flash_attention_packed(
     block_m: int = 512,
     block_n: int = 1024,
     interpret: bool = False,
+    nopad: bool = False,
 ):
     """Flash SDPA over packed projections: q (B, M, H*D), k/v (B, N, Hkv*D).
 
     Returns (B, M, H*Dv). Also accepts 2-D (M, H*D) inputs. No mask support
     (callers fall back to the einsum path). See _flash_call_packed for why
     this layout exists.
+
+    nopad=True (config.flash_packed_nopad): when the head dim is not
+    lane-aligned (the SD1.5 UNet's d=40), skip the 128-lane zero-pad of each
+    head — which materializes 3.2x-sized HBM copies of Q/K/V and reads the
+    padding back on every KV block — by transposing to head-major layout and
+    running the unpadded kernel (pad_lanes=False: Mosaic masks the partial
+    lane tile in place). Trades two unpadded transpose copies for the 3.2x
+    padded pad/read traffic; measured A/B on the UNet step decides the
+    default (tools/ab_unet.py --nopad-packed, docs/tpu_notes.md).
     """
     if q.ndim == 2:
         return flash_attention_packed(
             q[None], k[None], v[None], heads, scale=scale, causal=causal,
-            block_m=block_m, block_n=block_n, interpret=interpret,
+            block_m=block_m, block_n=block_n, interpret=interpret, nopad=nopad,
         )[0]
     if q.ndim != 3:
         raise NotImplementedError(f"flash_attention_packed: rank {q.ndim}")
@@ -288,6 +298,16 @@ def flash_attention_packed(
         raise NotImplementedError("head dims must be multiples of 8")
     if scale is None:
         scale = 1.0 / math.sqrt(d)
+
+    if nopad and (d % 128 or dv % 128):
+        qh = q.reshape(b, m, h, d).transpose(0, 2, 1, 3)
+        kh = k.reshape(b, n, hkv, d).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, n, hkv, dv).transpose(0, 2, 1, 3)
+        out = flash_attention(
+            qh, kh, vh, scale=scale, causal=causal, block_m=block_m,
+            block_n=block_n, interpret=interpret, pad_lanes=False,
+        )
+        return out.transpose(0, 2, 1, 3).reshape(b, m, h * dv).astype(q.dtype)
 
     block_m = min(block_m, _ceil_to(m, 8))
     block_n = min(block_n, _ceil_to(n, 128))

@@ -87,8 +87,12 @@ TINY_XL = UNetConfig(
 )
 
 
-def build_unet(cfg: UNetConfig = SD15, batch: int = 1, seed: int = 0) -> GraphBuilder:
-    g = GraphBuilder(seed=seed)
+def build_unet(cfg: UNetConfig = SD15, batch: int = 1, seed: int = 0,
+               lazy_weights: bool = False) -> GraphBuilder:
+    # lazy_weights: big weights become LazyArray placeholders so perf
+    # harnesses with device-synthesized weights skip the ~160 s host
+    # randn generation of the 3.4 GB synthetic checkpoint entirely
+    g = GraphBuilder(seed=seed, lazy_weights=lazy_weights)
     ch0 = cfg.block_out_channels[0]
     temb_dim = ch0 * 4
     s = cfg.sample_size
@@ -222,8 +226,12 @@ def build_unet(cfg: UNetConfig = SD15, batch: int = 1, seed: int = 0) -> GraphBu
 
     x = g.group_norm(x, cfg.norm_groups, name="norm_out")
     x = g.silu(x)
-    g.emit("Conv", [x, g.weight("conv_out.weight_nchw", g.randn(cfg.out_channels, x.shape[1], 3, 3)),
-                    g.weight("conv_out.bias", g.randn(cfg.out_channels, scale=0.01))],
+    g.emit("Conv", [x, g.gen_weight("conv_out.weight_nchw",
+                                    lambda co=cfg.out_channels, ci=x.shape[1]: g.randn(co, ci, 3, 3),
+                                    shape=(cfg.out_channels, x.shape[1], 3, 3)),
+                    g.gen_weight("conv_out.bias",
+                                 lambda co=cfg.out_channels: g.randn(co, scale=0.01),
+                                 shape=(cfg.out_channels,))],
            [(batch, cfg.out_channels, s, s)],
            {"dilations": "1,1", "group": 1, "kernel_shape": "3,3", "pads": "1,1,1,1", "strides": "1,1"},
            name="conv_out", out_names=["out_sample"])

@@ -176,7 +176,10 @@ def _sdpa(ctx: Ctx, op, ins):
             from onnxstream_tpu.kernels.flash_attention import flash_attention_packed
 
             try:
-                return [flash_attention_packed(q, k, v, heads, scale=scale, causal=causal)]
+                return [flash_attention_packed(
+                    q, k, v, heads, scale=scale, causal=causal,
+                    nopad=bool(getattr(ctx.config, "flash_packed_nopad", False)),
+                )]
             except NotImplementedError:
                 pass
         return [sdpa_reference_packed(q, k, v, heads, mask=mask, scale=scale, causal=causal)]

@@ -101,6 +101,12 @@ class SessionConfig:
     # Default set by the measured UNet-step A/B (tools/ab_unet.py,
     # docs/tpu_notes.md).
     fuse_gn_conv: bool = False
+    # packed flash attention with a non-lane-aligned head dim (SD1.5 d=40):
+    # route through the head-major UNPADDED kernel instead of zero-padding
+    # each head to 128 lanes (the pad materializes 3.2x-sized HBM copies of
+    # Q/K/V). Default set by the measured UNet-step A/B
+    # (tools/ab_unet.py --nopad-packed, docs/tpu_notes.md).
+    flash_packed_nopad: bool = False
     # test-only: run Pallas kernel dispatches in interpret mode so the
     # session-level routing is exercisable on the CPU test backend
     pallas_interpret: bool = False
@@ -190,6 +196,7 @@ class SessionConfig:
             "use_nchw_convs": lambda v: setattr(self, "use_nchw_convs", v),
             "use_nhwc_layout": lambda v: setattr(self, "use_nhwc_layout", v),
             "use_flash_attention": lambda v: setattr(self, "use_flash_attention", v),
+            "flash_packed_nopad": lambda v: setattr(self, "flash_packed_nopad", v),
             "fuse_attention_heads": lambda v: setattr(self, "fuse_attention_heads", v),
             "fuse_groupnorm": lambda v: setattr(self, "fuse_groupnorm", v),
             "fuse_gn_conv": lambda v: setattr(self, "fuse_gn_conv", v),

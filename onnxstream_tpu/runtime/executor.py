@@ -301,7 +301,7 @@ class Executor:
         big: List[int] = []
         for wi, w in enumerate(seg.weight_args):
             if (upload_bytes(w) >= min_bytes and w.quant is None
-                    and np.dtype(w.upload_dtype).kind == "f"):
+                    and _is_float_dtype(np.dtype(w.upload_dtype))):
                 big.append(wi)
         big_set = set(big)
         specs = [(seg.weight_args[wi].shape,
@@ -364,7 +364,9 @@ class Executor:
         if nelem < self.config.synthetic_min_elements or w.transform is not None:
             return None
         dt = np.dtype(w.upload_dtype)
-        if w.quant is None and dt.kind == "f" and w.file_dtype.is_float:
+        # NOT dt.kind == "f": ml_dtypes' bfloat16 reports kind 'V', which
+        # silently disabled synthesis for every bf16 model on the real chip
+        if w.quant is None and _is_float_dtype(dt) and w.file_dtype.is_float:
             return "normal"
         if (w.symmetric and dt == np.dtype(np.int8)
                 and w.name in self.config.force_uint8_storage_set):

@@ -158,3 +158,23 @@ def test_sdpa_reference_fp16_no_overflow():
     v = jnp.asarray(rng.rand(1, 2, 8, 16), jnp.float16)
     out = np.asarray(sdpa_reference(q, k, v, causal=True), np.float32)
     assert np.isfinite(out).all()
+
+
+@pytest.mark.skipif(not TPU_TESTS, reason="set OSTPU_TPU_TESTS=1 on a TPU backend")
+@pytest.mark.parametrize(
+    "case", [c for c in CASES if c[8] is None], ids=[c[0] for c in CASES if c[8] is None]
+)
+def test_flash_kernel_packed_nopad_vs_oracle_tpu(case):
+    """nopad=True routes non-lane-aligned head dims through the head-major
+    unpadded kernel (pad_lanes=False); lane-aligned dims keep the packed
+    path. Either way the numbers must match the oracle."""
+    from onnxstream_tpu.kernels.flash_attention import flash_attention_packed
+
+    q, k, v, mask, causal = _mk(case)
+    h = q.shape[1]
+    ref = _pack(oracle(q, k, v, causal=causal))
+    out = flash_attention_packed(
+        jnp.asarray(_pack(q)), jnp.asarray(_pack(k)), jnp.asarray(_pack(v)), h,
+        causal=causal, block_m=64, block_n=128, nopad=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)

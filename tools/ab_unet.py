@@ -14,7 +14,15 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ostpu_jaxcache")
+import jax as _jax
+
+_jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".cache", "jax_bench"),
+)
+_jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
@@ -24,8 +32,14 @@ VARIANTS = {
     "smallconv": {"use_pallas_smallconv": True},
     "smallconv_batch2": {"use_pallas_smallconv": True, "_batch": 2},
     "base_batch2": {"_batch": 2},
+    "base_batch4": {"_batch": 4},
+    "base_batch8": {"_batch": 8},
     "gnconv": {"fuse_gn_conv": True},
     "gnconv_batch2": {"fuse_gn_conv": True, "_batch": 2},
+    # route non-lane-aligned packed attention through the unpadded
+    # head-major kernel (VERDICT r3 #5: d=40 pads to 128 lanes = 3.2x-sized
+    # HBM copies of Q/K/V in the packed path)
+    "nopad_packed": {"flash_packed_nopad": True},
 }
 
 
