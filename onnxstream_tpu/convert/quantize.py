@@ -74,3 +74,54 @@ def quantize_graph_weights(
                 t.dtype = DType.uint8
                 t.scale, t.zero_point = qparams[t.name]
     return g.to_text(), new_weights
+
+
+def mark_weights_uint8(
+    text: str,
+    shapes: Dict[str, tuple],
+    min_elements: int = 256,
+    exclude_names: Optional[Iterable[str]] = None,
+    scale: float = 0.02 * 4.0 / 255.0,
+    zero_point: int = 128,
+) -> Tuple[str, list]:
+    """Data-free variant of quantize_graph_weights for perf harnesses.
+
+    Rewrites eligible weight tensor specs to `uint8[scale,zp]` WITHOUT
+    touching (or even materializing) the weight data — every marked weight is
+    expected to be device-synthesized (Executor._synth_kind 'u8'), so
+    timing-only runs of the W8A8 path (Pallas qconv/qmatmul on the int8 MXU)
+    never pay host quantization of a multi-GB checkpoint. `shapes` maps
+    weight name -> shape; the same (op_type, input_index) exclusions as real
+    quantization apply (converter rule, onnx2txt.ipynb). Returns
+    (new_text, marked_names). NOT for accuracy runs: the synthetic (scale,
+    zp) make outputs numerically meaningless.
+    """
+    g: Graph = parse_model_txt(text)
+    excl = set(exclude_names or ())
+
+    def _nelem(name: str) -> int:
+        shp = shapes.get(name)
+        return int(np.prod(shp)) if shp else 0
+
+    eligible: Dict[str, bool] = {}
+    for op in g.ops:
+        for idx, t in enumerate(op.inputs):
+            if not (t.is_weight and t.name):
+                continue
+            ok = (
+                (op.op_type, idx) not in QUANT_EXCLUDED
+                and t.dtype == DType.float32
+                and t.name in shapes
+                and _nelem(t.name) >= min_elements
+                and t.name not in excl
+            )
+            eligible[t.name] = eligible.get(t.name, True) and ok
+
+    marked = sorted(name for name, ok in eligible.items() if ok)
+    mset = set(marked)
+    for op in g.ops:
+        for t in op.inputs:
+            if t.is_weight and t.name in mset:
+                t.dtype = DType.uint8
+                t.scale, t.zero_point = float(scale), int(zero_point)
+    return g.to_text(), marked

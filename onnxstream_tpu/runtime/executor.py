@@ -268,22 +268,6 @@ class Executor:
             arr = WEIGHT_TRANSFORMS[w.transform](arr)
         return arr
 
-    def _weight_to_device_input(self, w: WeightArg, arr: np.ndarray, fmt=None):
-        """Host-side dtype conversion (once — written back through the
-        provider, like the reference's WeightsProvider::update) and async
-        device_put, directly into the compiled program's chosen layout when
-        AUTO weight layouts are active."""
-        arr = self._maybe_force_quant(w, arr)
-        target = np.dtype(w.upload_dtype)
-        if arr.dtype != target and w.quant is None:
-            arr = arr.astype(target)
-            if w.transform is None:
-                # transformed arrays are upload views; the provider keeps
-                # the file layout
-                self.provider.update(w.name, arr)
-        dst = fmt if fmt is not None else self._weight_shardings.get(w.name, self._device)
-        return jax.device_put(arr, dst)
-
     def synthesize_segment_weights(self, seg: Segment, si: int = 0,
                                    min_bytes: int = 1 << 20,
                                    seed: int = 0) -> List[jax.Array]:
@@ -298,22 +282,36 @@ class Executor:
         the provider — they can steer control structure and must be real.
         NOT for accuracy runs: outputs are numerically meaningless."""
         formats = self._weight_formats(si)
+        # element-count gate: min_bytes is expressed in f32-source bytes (the
+        # host cost being avoided), so a 1-byte/element u8/s8 weight gates at
+        # the same element count as its float form (see _synth_kind)
+        min_elements = max(1, min_bytes // 4)
         big: List[int] = []
+        kinds: Dict[int, str] = {}
         for wi, w in enumerate(seg.weight_args):
-            if (upload_bytes(w) >= min_bytes and w.quant is None
-                    and _is_float_dtype(np.dtype(w.upload_dtype))):
+            kind = self._synth_kind(w, min_elements=min_elements)
+            if kind is not None:
                 big.append(wi)
+                kinds[wi] = kind
         big_set = set(big)
         specs = [(seg.weight_args[wi].shape,
-                  np.dtype(seg.weight_args[wi].upload_dtype)) for wi in big]
+                  np.dtype(seg.weight_args[wi].upload_dtype), kinds[wi])
+                 for wi in big]
 
         def _gen(key):
             outs = []
-            for i, (shp, dt) in enumerate(specs):
+            for i, (shp, dt, kind) in enumerate(specs):
                 k = jax.random.fold_in(key, i)
-                outs.append(
-                    (0.02 * jax.random.normal(k, shp, jnp.float32)).astype(dt)
-                )
+                if kind == "s8":
+                    outs.append(jax.random.randint(k, shp, -127, 128, jnp.int8))
+                elif kind == "u8":
+                    outs.append(
+                        jax.random.randint(k, shp, 0, 256, jnp.int32).astype(jnp.uint8)
+                    )
+                else:
+                    outs.append(
+                        (0.02 * jax.random.normal(k, shp, jnp.float32)).astype(dt)
+                    )
             return outs
 
         # The AUTO-layout Formats go in as the generator's out_shardings so
@@ -326,6 +324,13 @@ class Executor:
             jit_kw["out_shardings"] = [formats[wi] for wi in big]
         gen = jax.jit(_gen, **jit_kw)(jax.random.key(seed)) if big else []
         gen_by_wi = dict(zip(big, gen))
+        for wi in big:
+            if kinds[wi] == "s8":
+                w = seg.weight_args[wi]
+                # a flat per-channel scale: decode math only needs the dtypes
+                # and shapes to be the real ones
+                w.quant = (np.full((w.shape[-1],), 0.02 / 127.0, np.float32), 0.0)
+                w.symmetric = True
         # small/non-float weights: host-convert individually (quant flags,
         # provider writeback), then ship in ONE batched device_put
         small_wis, small_arrs, small_dsts = [], [], []
@@ -349,7 +354,7 @@ class Executor:
         by_wi.update(zip(small_wis, small_dev))
         return [by_wi[wi] for wi in range(len(seg.weight_args))]
 
-    def _synth_kind(self, w: WeightArg) -> Optional[str]:
+    def _synth_kind(self, w: WeightArg, min_elements: Optional[int] = None) -> Optional[str]:
         """What kind of device-side generation (if any) can stand in for this
         weight under synthetic_device_weights: 'normal' for big plain float
         weights, 's8' for big symmetric force-quantized 2-D weights (the int8
@@ -361,7 +366,9 @@ class Executor:
         source, so an s8-stored weight (1 byte/element on device) gates the
         same as its float form."""
         nelem = int(np.prod(w.shape)) if w.shape else 1
-        if nelem < self.config.synthetic_min_elements or w.transform is not None:
+        if min_elements is None:
+            min_elements = self.config.synthetic_min_elements
+        if nelem < min_elements or w.transform is not None:
             return None
         dt = np.dtype(w.upload_dtype)
         # NOT dt.kind == "f": ml_dtypes' bfloat16 reports kind 'V', which
@@ -409,6 +416,10 @@ class Executor:
                 k = jax.random.fold_in(key0, i)
                 if kind == "s8":
                     outs.append(jax.random.randint(k, shp, -127, 128, jnp.int8))
+                elif kind == "u8":
+                    outs.append(
+                        jax.random.randint(k, shp, 0, 256, jnp.int32).astype(jnp.uint8)
+                    )
                 else:
                     outs.append((0.02 * jax.random.normal(k, shp, jnp.float32)).astype(dt))
             return outs
@@ -462,14 +473,15 @@ class Executor:
         synth: Dict[str, jax.Array] = {}
         if self.config.synthetic_device_weights and not self.config.pp_devices:
             synth = self._synthesize_missing(seg, formats, resident, shared_key)
-        out = []
+        out: List[Optional[jax.Array]] = [None] * len(seg.weight_args)
+        miss: List[tuple] = []
         for wi, w in enumerate(seg.weight_args):
             fmt = formats[wi] if formats is not None else None
             key = shared_key(w, fmt)
             hit = (self._device_weight_cache.get(key) if key is not None
                    else self._private_weight_cache.get(w.name))
             if hit is None and w.name in synth:
-                out.append(synth[w.name])
+                out[wi] = synth[w.name]
                 continue
             if hit is not None:
                 dev, quant, symmetric = hit
@@ -478,17 +490,35 @@ class Executor:
                 if quant is not None:
                     w.quant = quant
                     w.symmetric = symmetric
-                out.append(dev)
+                out[wi] = dev
                 continue
-            arr = self._host_weight(w)
+            miss.append((wi, w, fmt, key))
+        # ONE batched device_put for every cache-missing weight: a per-weight
+        # put is a serialized control-channel RPC each (~0.5 s over the
+        # tunneled chip — segment 0 of the SD1.5 UNet has ~230 weights, so the
+        # per-weight loop spent 10x the raw transfer time in stalls; measured
+        # 3.2 vs 33 MB/s, BENCH r4 dry run). The batch also keeps streaming
+        # in-flight bytes bounded by construction: one segment is the unit.
+        arrs, dsts = [], []
+        for wi, w, fmt, key in miss:
+            arr = self._maybe_force_quant(w, self._host_weight(w))
+            target = np.dtype(w.upload_dtype)
+            if arr.dtype != target and w.quant is None:
+                arr = arr.astype(target)
+                if w.transform is None and not self.config.pp_devices:
+                    # transformed arrays are upload views; the provider keeps
+                    # the file layout (reference WeightsProvider::update)
+                    self.provider.update(w.name, arr)
             if self.config.pp_devices:
-                arr = self._maybe_force_quant(w, arr)
-                target = np.dtype(w.upload_dtype)
-                if arr.dtype != target and w.quant is None:
-                    arr = arr.astype(target)
-                dev = jax.device_put(arr, device)
+                dst = device
             else:
-                dev = self._weight_to_device_input(w, arr, fmt)
+                dst = fmt if fmt is not None else self._weight_shardings.get(
+                    w.name, self._device)
+            arrs.append(arr)
+            dsts.append(dst)
+        devs = jax.device_put(arrs, dsts) if arrs else []
+        for (wi, w, fmt, key), dev in zip(miss, devs):
+            out[wi] = dev
             if resident:
                 # resident weights: no streaming budget, or pp stages own
                 # their segment's weights permanently
@@ -502,7 +532,6 @@ class Executor:
                 # 2693); weights_exclusion_set opts a name out
                 if w.name not in self.config.weights_exclusion_set:
                     self.provider.remove(w.name)
-            out.append(dev)
         return out
 
     # --------------------------------------------------------------- op eval
@@ -864,6 +893,14 @@ class Executor:
             self.config.auto_weight_layouts
             and self.config.mesh is None
             and not self.config.pp_devices
+            # streaming mode re-uploads weights EVERY step, so "relayout once
+            # at upload" amortizes over nothing — a Format-destination
+            # device_put just moves the relayout into the host->HBM transfer
+            # path (measured 4x under the raw link rate, BENCH r4 streamed
+            # child) and costs a discovery compile per segment. Default
+            # layouts let the transfer run at link rate; any relayout XLA
+            # still wants is a device-side HBM copy, cheap next to the link.
+            and self.config.hbm_budget_bytes == 0
             and (
                 jax.default_backend() == "tpu"
                 # CPU layouts are trivial, but tests exercise the path with it

@@ -132,7 +132,7 @@ def _measure_llm(cfg_name: str, int8: bool = False, fast: bool = False) -> None:
     )
 
 
-def measure_llm_bench(fast: bool = True) -> None:
+def llm_bench_result(fast: bool = True) -> dict:
     """The bench.py child: bf16 AND int8 TinyLlama decode in ONE process so
     the int8 speedup is a same-hour ratio (the tunnel's hour-to-hour rate
     swings make cross-run comparisons meaningless — docs/tpu_notes.md)."""
@@ -143,7 +143,7 @@ def measure_llm_bench(fast: bool = True) -> None:
     n = 64 if fast else 128
     bf16 = _llm_tok_s(cfg, False, n, synth)
     int8 = _llm_tok_s(cfg, True, n, synth)
-    _emit(
+    return dict(
         metric="tinyllama_decode_tok_s",
         tok_s=bf16["tok_s"],
         new_tokens=bf16["new_tokens"],
@@ -153,6 +153,10 @@ def measure_llm_bench(fast: bool = True) -> None:
         params_m=round(param_count(cfg) / 1e6, 0),
         weights="synthetic-device" if synth else "synthetic-host-upload",
     )
+
+
+def measure_llm_bench(fast: bool = True) -> None:
+    _emit(**llm_bench_result(fast=fast))
 
 
 def main() -> None:
