@@ -197,10 +197,16 @@ def _streamed_measure(wall_budget: float) -> dict:
     # tiny warmup put first: the first transfer of the process pays the
     # one-time backend/tunnel handshake, which would swamp the probe
     np.asarray(jax.device_put(np.zeros((256,), np.float32))[:1])
-    probe = np.zeros((1 << 22,), np.float32)  # 16 MB
+    probe = np.zeros((1 << 19,), np.float32)  # 2 MB: cheap even at 0.1 MB/s
     tp = time.time()
     np.asarray(jax.device_put(probe)[:1])
-    link_bps = probe.nbytes / max(time.time() - tp, 1e-9)
+    dt = time.time() - tp
+    if dt < 0.5:  # fast hour: refine with a 16 MB probe (RTT swamps 2 MB)
+        probe = np.zeros((1 << 22,), np.float32)
+        tp = time.time()
+        np.asarray(jax.device_put(probe)[:1])
+        dt = time.time() - tp
+    link_bps = probe.nbytes / max(dt, 1e-9)
     spent = time.time() - t0
     # 2.2x: timed pass + calibration pass + 10% slack; ~30 s reserved for
     # compile (persistent cache) + setup tail
@@ -209,6 +215,13 @@ def _streamed_measure(wall_budget: float) -> dict:
         int(float(os.environ.get("OSTPU_STREAM_CAP_MB", "640")) * (1 << 20)),
         int(transfer_budget * link_bps),
     )
+    # the proof needs >= 2 segments (k=1 degenerates to a plain upload); if
+    # this hour's link can't move 2 segments twice inside the budget, skip
+    # rather than hang the whole bench (0.1 MB/s hours exist — linkrate log)
+    if sum(seg_bytes[:2]) > cap * 1.3:
+        s2.close()
+        return {"skipped": f"link too slow ({link_bps / 1e6:.1f} MB/s for "
+                           f"{sum(seg_bytes[:2]) >> 20} MB min prefix)"}
     k, acc = 0, 0
     while k < len(segs) and (k < 2 or acc + seg_bytes[k] <= cap):
         acc += seg_bytes[k]
@@ -374,16 +387,37 @@ def main() -> None:
     def _remaining() -> float:
         return total_budget_s - (time.time() - t_start)
 
-    def _inproc(fn, *args):
+    def _inproc(fn, *args, deadline_margin: float = 25.0):
         """Run a measurement IN-PROCESS. A fresh subprocess pays the axon
         tunnel's first-transfer handshake again (measured 30-167 s — more
         than either child's real work); this process already paid it during
         the headline warmup. Exceptions degrade to an error dict so the
-        enriched line always prints."""
+        enriched line always prints. A SIGALRM watchdog pinned to the
+        OVERALL bench deadline (minus margin for the remaining children's
+        skip paths + the final print) bounds a child that stalls inside a
+        blocked transfer on a dead-link hour — an in-process child has no
+        subprocess timeout, and blowing the driver's wall budget turns the
+        whole bench into rc=124 (round 2's failure mode)."""
+        import signal
+
+        budget = _remaining() - deadline_margin
+        if budget <= 5:
+            return {"skipped": "budget"}
+
+        def _on_alarm(signum, frame):
+            raise TimeoutError(f"child watchdog after {budget:.0f}s")
+
+        prev = signal.signal(signal.SIGALRM, _on_alarm)
+        signal.alarm(int(budget))
         try:
             return fn(*args)
+        except TimeoutError as e:
+            return {"skipped": str(e)}
         except Exception as e:
             return {"error": f"{type(e).__name__}: {e}"[:400]}
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, prev)
 
     # Optional enrichment children, each individually skippable, sharing the
     # remaining budget. Order by LINK-sensitivity: the streamed proof needs

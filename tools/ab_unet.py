@@ -51,16 +51,17 @@ VARIANTS = {
 
 def main() -> None:
     sel = [a for a in sys.argv[1:] if not a.startswith("-")] or list(VARIANTS)
+    tiny = "--tiny" in sys.argv  # wiring smoke test (CPU-friendly sizes)
     n_iter = int(os.environ.get("OSTPU_SWEEP_ITERS", "50"))
 
     import jax
 
-    from onnxstream_tpu.models.sd.unet import build_unet, SD15
+    from onnxstream_tpu.models.sd.unet import build_unet, SD15, TINY
     from onnxstream_tpu.runtime.config import SessionConfig
     from onnxstream_tpu.runtime.session import Session
     from onnxstream_tpu.runtime.weights import DictWeightsProvider
 
-    g = build_unet(SD15, lazy_weights=True)
+    g = build_unet(TINY if tiny else SD15, lazy_weights=True)
     text = g.to_text()
     qtext = qranges = None
     rng = np.random.RandomState(0)
@@ -77,15 +78,20 @@ def main() -> None:
             # provider is never asked for u8 data it doesn't have)
             qtext, marked = mark_weights_uint8(
                 text, {k: v.shape for k, v in g.weights.items()},
-                min_elements=1 << 18,
+                min_elements=1 << (8 if tiny else 18),
             )
             qranges = {op.name: (-4.0, 4.0) for op in parse_model_txt(qtext).ops}
             print(f"# w8a8: {len(marked)} weights marked uint8",
                   file=sys.stderr, flush=True)
+        ucfg = TINY if tiny else SD15
         inputs = {
-            "sample": rng.rand(batch, 4, 64, 64).astype(np.float32),
+            "sample": rng.rand(
+                batch, ucfg.in_channels, ucfg.sample_size, ucfg.sample_size
+            ).astype(np.float32),
             "timestep": np.array([500.0], np.float32),
-            "encoder_hidden_states": rng.rand(batch, 77, 768).astype(np.float32),
+            "encoder_hidden_states": rng.rand(
+                batch, ucfg.context_len, ucfg.cross_attention_dim
+            ).astype(np.float32),
         }
         t0 = time.time()
 
@@ -109,7 +115,8 @@ def main() -> None:
         _mark("session+plan")
         seg = ex.segments[0]
         out_name = "out_sample" if "out_sample" in seg.out_names else seg.out_names[0]
-        weights = ex.synthesize_segment_weights(seg)
+        weights = ex.synthesize_segment_weights(
+            seg, min_bytes=(1 << 10) if tiny else (1 << 20))
         _mark("weights synthesized (dispatched)")
         acts = {k: jax.device_put(np.asarray(v, np.float32)) for k, v in inputs.items()}
         cf = ex._compiled(0)

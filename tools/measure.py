@@ -94,11 +94,43 @@ def measure_sdxl() -> None:
     )
 
 
+def _llm_steady_tok_s(pipe, m: int = 4) -> float:
+    """Steady-state decode rate: chain the already-compiled (P, n) decode
+    scan m times with the KV carry fed back DEVICE-SIDE, one forcing readback
+    at the end. This strips the prefill and the per-chunk host round trip —
+    which over this tunneled chip is ~0.05-2 s of WAN latency per dispatch
+    that a deployed host (PCIe, ~us) never pays — so the number reflects the
+    decode program itself, stable across tunnel hours. Call after a warm
+    generate_on_device (the cache must hold at least one decode program).
+    Mirrors the chained-step discipline of bench.py's UNet headline."""
+    import jax.numpy as jnp
+
+    (P, n), (decode_n, weights, cdt) = max(pipe._decode_fns.items())
+    kvs = tuple(jnp.asarray(a, cdt) for a in pipe.kv)
+    if kvs[0].shape[2] != P:
+        pad = P - kvs[0].shape[2]
+        kvs = tuple(jnp.pad(a, ((0, 0), (0, 0), (0, max(pad, 0)), (0, 0)))
+                    [:, :, :P, :] for a in kvs)
+    tok0 = jnp.asarray(7, jnp.int32)
+    # fixed cache_len: per-step work is value-independent (the masked
+    # attention reads the full bucket either way), so repeating the same
+    # carry state is timing-identical to a real rolling decode
+    cl0 = jnp.asarray(min(pipe.cache_len, P - n - 1), jnp.int32)
+    toks, kvs = decode_n(weights, tok0, cl0, kvs)  # warm dispatch
+    np.asarray(toks)
+    t0 = time.time()
+    for _ in range(m):
+        toks, kvs = decode_n(weights, tok0, cl0, kvs)
+    np.asarray(toks)
+    return n * m / (time.time() - t0)
+
+
 def _llm_tok_s(cfg, int8: bool, n: int, synthetic_on_device: bool) -> dict:
     """One timed decode measurement: warm with the identical call so every
     (L, past-bucket) graph the timed run touches is already compiled, then
     time a fresh prefill + on-device decode (token ids leaving the chip force
-    completion)."""
+    completion). `tok_s` includes prefill + per-chunk dispatch (end-to-end);
+    `steady_tok_s` is the chained device-side rate (see _llm_steady_tok_s)."""
     from onnxstream_tpu.models.llm.pipeline import LlamaPipeline
 
     pipe = LlamaPipeline(cfg, compute_dtype="bfloat16", int8_weights=int8,
@@ -109,8 +141,9 @@ def _llm_tok_s(cfg, int8: bool, n: int, synthetic_on_device: bool) -> dict:
     t0 = time.time()
     out = pipe.generate_on_device(prompt_ids, max_new_tokens=n)
     dt = time.time() - t0
+    steady = _llm_steady_tok_s(pipe)
     return {"tok_s": round(len(out) / dt, 1), "new_tokens": len(out),
-            "wall_s": round(dt, 2)}
+            "wall_s": round(dt, 2), "steady_tok_s": round(steady, 1)}
 
 
 def _measure_llm(cfg_name: str, int8: bool = False, fast: bool = False) -> None:
@@ -146,10 +179,15 @@ def llm_bench_result(fast: bool = True) -> dict:
     return dict(
         metric="tinyllama_decode_tok_s",
         tok_s=bf16["tok_s"],
+        steady_tok_s=bf16["steady_tok_s"],
         new_tokens=bf16["new_tokens"],
         wall_s=bf16["wall_s"],
         int8_tok_s=int8["tok_s"],
-        int8_ratio=round(int8["tok_s"] / max(bf16["tok_s"], 1e-9), 3),
+        int8_steady_tok_s=int8["steady_tok_s"],
+        # the headline ratio uses the steady rates: the e2e ones fold in
+        # per-chunk WAN dispatch latency that varies hour to hour and is an
+        # artifact of the tunnel, not the framework
+        int8_ratio=round(int8["steady_tok_s"] / max(bf16["steady_tok_s"], 1e-9), 3),
         params_m=round(param_count(cfg) / 1e6, 0),
         weights="synthetic-device" if synth else "synthetic-host-upload",
     )
