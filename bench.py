@@ -78,8 +78,9 @@ def _build_session(hbm_budget_bytes: int = 0, batch: int = 1):
 
     # lazy: the 3.4 GB synthetic checkpoint is never host-generated unless
     # something actually reads it (the streamed child pre-materializes its
-    # prefix; the resident headline synthesizes on device)
-    g = build_unet(SD15, lazy_weights=True)
+    # prefix; the resident headline synthesizes on device). batch is baked
+    # into the graph's declared shapes (the planner shape-checks every line).
+    g = build_unet(SD15, batch=batch, lazy_weights=True)
     config = SessionConfig(
         compute_dtype="bfloat16",
         fuse_ops_in_attention=True,

@@ -132,8 +132,16 @@ class StableDiffusionPipeline:
     # ----------------------------------------------------------- constructors
     @classmethod
     def from_synthetic(cls, tiny: bool = True, seed: int = 0, compute_dtype: str = "float32",
-                       xl: bool = False, turbo: bool = False, batch: int = 1):
-        """Architecture-faithful graphs with random weights (tests/bench)."""
+                       xl: bool = False, turbo: bool = False, batch: int = 1,
+                       on_device: bool = False):
+        """Architecture-faithful graphs with random weights (tests/bench).
+
+        on_device=True: the UNet's weights stay LazyArray placeholders and
+        every session device-synthesizes its big float weights
+        (SessionConfig.synthetic_device_weights) — the full-size SDXL UNet
+        (2.6B params, ~10 GB f32) never materializes on the host and nothing
+        big crosses the tunneled link. Timing-valid, numerically meaningless
+        (same contract as the LLM bench path, models/llm/pipeline.py)."""
         from onnxstream_tpu.models.sd.clip import (
             CLIP_BIGG,
             CLIP_L,
@@ -156,7 +164,8 @@ class StableDiffusionPipeline:
 
         def mk(builder):
             s = Session(
-                config=SessionConfig(compute_dtype=compute_dtype, fuse_ops_in_attention=True),
+                config=SessionConfig(compute_dtype=compute_dtype, fuse_ops_in_attention=True,
+                                     synthetic_device_weights=on_device),
                 weights_provider=DictWeightsProvider(builder.weights),
             )
             s.read_string(builder.to_text())
@@ -164,7 +173,7 @@ class StableDiffusionPipeline:
 
         te = mk(build_text_encoder(ccfg, seed=seed))
         te2 = mk(build_text_encoder(ccfg2, seed=seed + 7)) if ccfg2 else None
-        un = mk(build_unet(ucfg, batch=batch, seed=seed + 1))
+        un = mk(build_unet(ucfg, batch=batch, seed=seed + 1, lazy_weights=on_device))
         lat = ucfg.sample_size
         vd = mk(build_vae_decoder(dataclasses.replace(vcfg, sample=lat), seed=seed + 2))
         # tile decoder: same weights (identical builder stream), tile-sized

@@ -61,28 +61,39 @@ def main() -> None:
     from onnxstream_tpu.runtime.session import Session
     from onnxstream_tpu.runtime.weights import DictWeightsProvider
 
-    g = build_unet(TINY if tiny else SD15, lazy_weights=True)
-    text = g.to_text()
-    qtext = qranges = None
+    ucfg0 = TINY if tiny else SD15
+    built = {}  # batch -> (GraphBuilder, text): batch is baked into the IR
+
+    def _graph(batch):
+        if batch not in built:
+            gb = build_unet(ucfg0, batch=batch, lazy_weights=True)
+            built[batch] = (gb, gb.to_text())
+        return built[batch]
+
+    g, text = _graph(1)
+    qtexts = {}  # batch -> (qtext, qranges)
     rng = np.random.RandomState(0)
     ref_out = {}
     for name in sel:
         cfg_kw = dict(VARIANTS[name])
         batch = cfg_kw.pop("_batch", 1)
         w8a8 = cfg_kw.pop("_w8a8", False)
-        if w8a8 and qtext is None:
+        g, text = _graph(batch)
+        if w8a8 and batch not in qtexts:
             from onnxstream_tpu.convert.quantize import mark_weights_uint8
             from onnxstream_tpu.ir import parse_model_txt
 
             # only weights big enough to device-synthesize get marked (the
             # provider is never asked for u8 data it doesn't have)
-            qtext, marked = mark_weights_uint8(
+            qt, marked = mark_weights_uint8(
                 text, {k: v.shape for k, v in g.weights.items()},
                 min_elements=1 << (8 if tiny else 18),
             )
-            qranges = {op.name: (-4.0, 4.0) for op in parse_model_txt(qtext).ops}
+            qtexts[batch] = (qt, {op.name: (-4.0, 4.0)
+                                  for op in parse_model_txt(qt).ops})
             print(f"# w8a8: {len(marked)} weights marked uint8",
                   file=sys.stderr, flush=True)
+        qtext, qranges = qtexts.get(batch, (None, None))
         ucfg = TINY if tiny else SD15
         inputs = {
             "sample": rng.rand(

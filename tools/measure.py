@@ -41,10 +41,17 @@ def _emit(**kw):
     print(json.dumps(kw), flush=True)
 
 
+def _synth() -> bool:
+    """Device-synthesized weights by default (big uploads over the tunneled
+    link are multi-minute stalls); OSTPU_MEASURE_UPLOAD=1 restores uploads."""
+    return os.environ.get("OSTPU_MEASURE_UPLOAD", "") != "1"
+
+
 def measure_sd15() -> None:
     from onnxstream_tpu.models.sd.pipeline import StableDiffusionPipeline
 
-    pipe = StableDiffusionPipeline.from_synthetic(tiny=TINY, compute_dtype="bfloat16")
+    pipe = StableDiffusionPipeline.from_synthetic(
+        tiny=TINY, compute_dtype="bfloat16", on_device=_synth())
     prompt = "a photo of an astronaut riding a horse on mars"
     t0 = time.time()
     res = pipe.generate_on_device(prompt, steps=10, seed=42, sampler="euler_a", decode=True)
@@ -59,13 +66,15 @@ def measure_sd15() -> None:
         unit="s",
         image=list(np.shape(res.image)),
         finite=bool(np.isfinite(res.latents).all()),
+        weights="synthetic-device" if _synth() else "synthetic-host-upload",
     )
 
 
 def measure_sdxl() -> None:
     from onnxstream_tpu.models.sd.pipeline import StableDiffusionPipeline
 
-    pipe = StableDiffusionPipeline.from_synthetic(tiny=TINY, xl=True, compute_dtype="bfloat16")
+    pipe = StableDiffusionPipeline.from_synthetic(
+        tiny=TINY, xl=True, compute_dtype="bfloat16", on_device=_synth())
     prompt = "a photo of an astronaut riding a horse on mars"
     # warm with the IDENTICAL call: the scan length is baked into the
     # compiled program, so a different steps count would leave the timed run
@@ -91,6 +100,7 @@ def measure_sdxl() -> None:
         unit="s",
         image=list(np.shape(img)),
         finite=bool(np.isfinite(res.latents).all()),
+        weights="synthetic-device" if _synth() else "synthetic-host-upload",
     )
 
 
