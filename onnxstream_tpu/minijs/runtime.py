@@ -638,6 +638,8 @@ def _math_obj() -> JSObject:
             float("-inf") if v == 0 else float("nan")),
         "log2": lambda v: math.log2(v) if v > 0 else (
             float("-inf") if v == 0 else float("nan")),
+        "log10": lambda v: math.log10(v) if v > 0 else (
+            float("-inf") if v == 0 else float("nan")),
         "sign": lambda v: float(np.sign(v)),
         "fround": lambda v: float(np.float32(v)),
         "cbrt": lambda v: math.copysign(abs(v) ** (1.0 / 3.0), v),
