@@ -377,6 +377,11 @@ def _typed_prop(interp, ta: JSTypedArray, name: str):
                 interp.call(fn, UNDEF, [a.read(i), float(i), a])
             return UNDEF
         return _method(name, ta, _each)
+    if name == "keys":
+        return _method(name, ta, lambda a, args: JSArray(
+            [float(i) for i in range(len(a))]))
+    if name == "values":
+        return _method(name, ta, lambda a, args: JSArray(a.tolist()))
     try:
         i = int(name)
         return ta.read(i) if 0 <= i < len(ta) else UNDEF
