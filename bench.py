@@ -421,16 +421,15 @@ def main() -> None:
             signal.signal(signal.SIGALRM, prev)
 
     # Optional enrichment children, each individually skippable, sharing the
-    # remaining budget. Order by LINK-sensitivity: the streamed proof needs
-    # the freshest budget (its cost is raw WAN transfer), while the TinyLlama
-    # child is compile-bound (~60-150 s warm: device-synthesized weights +
-    # persistent compile cache); reserve that much and let the streamed child
-    # spend the rest of the budget on its transfers.
-    if _remaining() > 240:
-        streamed = _inproc(_streamed_measure, max(60.0, _remaining() - 170.0))
-        _mark("streamed child done")
-    else:
-        streamed = {"skipped": "budget"}
+    # remaining budget. Order by EXPECTED COST, cheapest-guaranteed first:
+    # the TinyLlama child is ~70 s warm (device-synthesized weights +
+    # persistent compile cache, measured in-bench 2026-08-19), so it always
+    # lands; the streamed child then takes everything left (its segment
+    # programs are pre-warmed in .cache/jax_bench, its own link-rate probe
+    # self-skips dead hours, and the watchdog pins it to the deadline); the
+    # batch child is the least essential (the throughput story is recorded
+    # in docs/tpu_notes.md + README from the same-hour sweep) and takes
+    # leftovers only.
     if _remaining() > 90:
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
         from measure import llm_bench_result
@@ -439,8 +438,11 @@ def main() -> None:
         _mark("tinyllama child done")
     else:
         llm = {"skipped": "budget"}
-    # batch-throughput story (reference batch replay): cheapest child (one
-    # compile + 50 steps, no uploads), so it takes whatever budget is left
+    if _remaining() > 150:
+        streamed = _inproc(_streamed_measure, _remaining() - 30.0)
+        _mark("streamed child done")
+    else:
+        streamed = {"skipped": "budget"}
     if _remaining() > 100:
         batch = _inproc(_batch_measure, 4)
         _mark("batch child done")

@@ -15,13 +15,13 @@
 
 class Model {
     constructor(baseUrl, handle) {
-        this.base = baseUrl.replace(/\/$/, "");
+        this.base = baseUrl.endsWith("/") ? baseUrl.slice(0, -1) : baseUrl;
         this.handle = handle;
     }
 
     static async create(baseUrl, weightsProviderName) {
         const wp = weightsProviderName || "dict";
-        const r = await fetch(`${baseUrl.replace(/\/$/, "")}/models?wp=${encodeURIComponent(wp)}`, { method: "POST" });
+        const r = await fetch(`${baseUrl.endsWith("/") ? baseUrl.slice(0, -1) : baseUrl}/models?wp=${encodeURIComponent(wp)}`, { method: "POST" });
         const j = await r.json();
         if (j.error) throw new Error(j.error);
         return new Model(baseUrl, j.handle);

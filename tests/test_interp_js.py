@@ -1,10 +1,12 @@
 """Structural gates for the in-tab JavaScript interpreter (api/interp.js).
 
-This environment has no JavaScript engine (no node/deno/browser — checked:
-nothing on PATH, no embeddable libjavascriptcore/v8/duktape), so the in-tab
-interpreter cannot be *executed* in CI here. These tests are the same
-discipline as the C# bindings gate (tests/test_bindings_cs.py): structural
-invariants that catch the realistic regression classes —
+This environment has no external JavaScript engine (no node/deno/browser —
+checked: nothing on PATH, no embeddable libjavascriptcore/v8/duktape); the
+repo's own embedded engine (onnxstream_tpu/minijs) now EXECUTES the JS in CI
+(tests/test_interp_js_exec.py). These tests remain as the engine-independent
+structural layer — same discipline as the C# bindings gate
+(tests/test_bindings_cs.py): structural invariants that catch the realistic
+regression classes —
 
   * an op used by the browser examples' model.txt disappearing from the
     interpreter's dispatch,

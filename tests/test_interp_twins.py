@@ -1,13 +1,15 @@
 """Algorithm twins for api/interp.js's op kernels, tested against numpy.
 
-No JavaScript engine exists in this environment (see test_interp_js.py), so
-the shipped JS cannot be executed in CI. The next-best execution-level check:
-each function below is a *faithful line-by-line port* of the corresponding
-interp.js kernel — same loop structure, same index arithmetic, same odometer
-carries, same bounds math — validated here against numpy oracles on
-adversarial shapes (paddings, strides, groups, broadcasts, negative slice
-indices). A logic bug in the JS (wrong stride, off-by-one bound, bad carry)
-is by construction reproduced in the twin and caught by the oracle.
+The shipped JS now ALSO executes directly in CI through the embedded minijs
+engine (tests/test_interp_js_exec.py) — these twins remain as the
+fine-grained per-kernel layer: each function below is a *faithful
+line-by-line port* of the corresponding interp.js kernel — same loop
+structure, same index arithmetic, same odometer carries, same bounds math —
+validated here against numpy oracles on adversarial shapes (paddings,
+strides, groups, broadcasts, negative slice indices). A logic bug in the JS
+(wrong stride, off-by-one bound, bad carry) is by construction reproduced in
+the twin and caught by the oracle, with a smaller repro than the end-to-end
+graph runs give.
 
 Ports intentionally preserve JS-isms (explicit odometers, precomputed ox
 bounds, row accumulators) rather than vectorizing — vectorizing would test

@@ -181,6 +181,29 @@ def test_engine_rejects_unsupported():
         run("function* gen() { yield 1; }")
 
 
+def test_engine_parses_every_repo_js_file():
+    """Grammar-coverage gate: every shipped .js (and every example page's
+    inline script) must stay inside minijs's supported subset, so the
+    execution tests can always host them."""
+    import glob
+    import os
+    import re
+
+    from onnxstream_tpu.minijs.parser import parse
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    js = glob.glob(os.path.join(root, "onnxstream_tpu", "api", "*.js"))
+    assert len(js) >= 2  # interp.js + client.js
+    for p in js:
+        parse(open(p, encoding="utf-8").read())
+    for p in glob.glob(os.path.join(root, "examples", "**", "*.html"),
+                       recursive=True):
+        m = re.search(r"<script>(.*)</script>", open(p, encoding="utf-8").read(),
+                      re.S)
+        if m:
+            parse(m.group(1))
+
+
 def test_host_marshalling_shares_typed_memory():
     e = Engine()
     buf = np.zeros(4, np.float32)
