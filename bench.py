@@ -207,7 +207,11 @@ def _streamed_measure(wall_budget: float) -> dict:
         tp = time.time()
         np.asarray(jax.device_put(probe)[:1])
         dt = time.time() - tp
-    link_bps = probe.nbytes / max(dt, 1e-9)
+    # 0.65 derate for SIZING: a one-shot probe rides TCP burst buffers and
+    # over-reads the sustained rate (measured 62 burst vs 18.5 sustained
+    # MB/s on 2026-08-19); undersizing the prefix is recoverable, a
+    # watchdog-killed overshoot is not
+    link_bps = 0.65 * probe.nbytes / max(dt, 1e-9)
     spent = time.time() - t0
     # 2.2x: timed pass + calibration pass + 10% slack; ~30 s reserved for
     # compile (persistent cache) + setup tail
@@ -252,10 +256,19 @@ def _streamed_measure(wall_budget: float) -> dict:
     setup_s = time.time() - t0
 
     def run_prefix():
-        """Mirror Executor.run's double-buffer loop over segments [0, k)."""
+        """Mirror Executor.run's double-buffer loop over segments [0, k).
+
+        Returns (fill_s, steady_s): segment 0's weights CANNOT overlap with
+        anything (pipeline fill — the analog of DiskPrefetch's initial
+        read-ahead before the first op runs, reference onnxstream.h:431-601),
+        so the steady-state window starts once they are resident; the design
+        claim 'pipeline rate ~ link rate' is about the steady window."""
         acts = ex._prepare_inputs(inputs)
         results = {}
+        tf = time.time()
         nxt = ex._fetch_segment_weights(segs[0], 0)
+        jax.block_until_ready(nxt)
+        t1 = time.time()
         for si in range(k):
             weights = nxt
             seg_in = {n: (acts[n] if n in acts else results[n]) for n in segs[si].in_names}
@@ -267,19 +280,20 @@ def _streamed_measure(wall_budget: float) -> dict:
             results.update(fut)
         name = segs[k - 1].out_names[0]
         np.asarray(results[name][(0,) * results[name].ndim])  # force the chain
+        return t1 - tf, time.time() - t1
 
-    t0 = time.time()
-    run_prefix()
-    stream_s = time.time() - t0
-    stream_gbps = acc / stream_s / 1e9
+    fill_s, stream_s = run_prefix()
+    steady_bytes = acc - seg_bytes[0]
+    stream_gbps = steady_bytes / stream_s / 1e9
 
     # raw-link calibration AFTER the timed pass: transfer the SAME arrays
-    # again with no compute — identical transfer pattern (the tunnel's rate
-    # depends on array sizes), so pipeline rate / raw rate isolates the
-    # double buffer's overhead over whatever link exists.
+    # (segments 1..k-1, the steady window's bytes) again with no compute —
+    # identical transfer pattern (the tunnel's rate depends on array sizes),
+    # so pipeline rate / raw rate isolates the double buffer's overhead over
+    # whatever link exists.
     t0 = time.time()
     last, sent = None, 0
-    for si in range(k):
+    for si in range(1, k):
         for w in segs[si].weight_args:
             arr = ex.provider.get(w.name, w.file_dtype, w.file_shape or w.shape)
             if arr.dtype != np.dtype(w.upload_dtype) and w.quant is None:
@@ -301,8 +315,10 @@ def _streamed_measure(wall_budget: float) -> dict:
 
     s2.close()
     return {
-        "stream_mb": round(acc / (1 << 20), 1),
+        "stream_mb": round(steady_bytes / (1 << 20), 1),
         "stream_s": round(stream_s, 1),
+        "fill_s": round(fill_s, 1),
+        "fill_mb": round(seg_bytes[0] / (1 << 20), 1),
         "stream_gbps": round(stream_gbps, 4),
         "raw_link_gbps": round(link_gbps, 4),
         "utilization": round(stream_gbps / max(link_gbps, 1e-9), 3),

@@ -104,7 +104,7 @@ def measure_sdxl() -> None:
     )
 
 
-def _llm_steady_tok_s(pipe, m: int = 4) -> float:
+def _llm_steady_tok_s(pipe, m: int = 12) -> float:
     """Steady-state decode rate: chain the already-compiled (P, n) decode
     scan m times with the KV carry fed back DEVICE-SIDE, one forcing readback
     at the end. This strips the prefill and the per-chunk host round trip —
@@ -128,6 +128,9 @@ def _llm_steady_tok_s(pipe, m: int = 4) -> float:
     cl0 = jnp.asarray(min(pipe.cache_len, P - n - 1), jnp.int32)
     toks, kvs = decode_n(weights, tok0, cl0, kvs)  # warm dispatch
     np.asarray(toks)
+    # m=12 chains (384+ tokens, >=1-2 s of device time): the ONE forcing
+    # readback carries a WAN round trip (0.1-0.5 s on this tunnel) that a
+    # too-small window would fold into the rate
     t0 = time.time()
     for _ in range(m):
         toks, kvs = decode_n(weights, tok0, cl0, kvs)
