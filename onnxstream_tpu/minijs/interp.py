@@ -86,19 +86,39 @@ class Interp:
             elif st[3] is not None:
                 self.exec_stmt(st[3], scope, this)
         elif kind == "for":
-            s2 = Scope(scope)
             init, test, update, body = st[1], st[2], st[3], st[4]
+            s2 = Scope(scope)
             if init is not None:
                 self.exec_stmt(init, s2, this)
-            while test is None or js_truthy(self.eval(test, s2, this)):
+            # per-iteration let/const environments (spec
+            # CreatePerIterationEnvironment): each iteration's test/body/
+            # update see a FRESH copy of the loop bindings, so closures made
+            # in the body capture that iteration's values, not the final ones
+            per_iter = init is not None and init[0] == "var" and init[1] != "var"
+
+            def _copy(e):
+                nxt = Scope(scope)
+                nxt.vars.update(e.vars)
+                return nxt
+
+            # spec ForBodyEvaluation: copy before the FIRST test, then after
+            # each body and BEFORE the update — so body N's closures capture
+            # iteration N's bindings and the update increments iteration
+            # N+1's copy
+            env = _copy(s2) if per_iter else s2
+            while True:
+                if test is not None and not js_truthy(self.eval(test, env, this)):
+                    break
                 try:
-                    self.exec_stmt(body, Scope(s2), this)
+                    self.exec_stmt(body, Scope(env), this)
                 except BreakEx:
                     break
                 except ContinueEx:
                     pass
+                if per_iter:
+                    env = _copy(env)
                 if update is not None:
-                    self.eval(update, s2, this)
+                    self.eval(update, env, this)
         elif kind == "forof":
             _, _kw, pat, iter_e, body = st
             for v in runtime.js_iter(self.eval(iter_e, scope, this)):
@@ -427,6 +447,11 @@ class Interp:
                 if e[2][0] == "member" and isinstance(
                         o := self.eval(e[2][1], scope, this), JSObject):
                     o.props.pop(e[2][2], None)
+                elif e[2][0] == "index":
+                    o = self.eval(e[2][1], scope, this)
+                    key = js_to_string(self.eval(e[2][2], scope, this))
+                    if isinstance(o, JSObject):
+                        o.props.pop(key, None)
                 return True
             raise MiniJsError(f"unsupported unary {op}")
         if kind == "await":
@@ -555,7 +580,9 @@ class Interp:
                 if a == 0.0:
                     return a
                 return math.fmod(a, b)
-            return a ** b
+            from .values import js_pow
+
+            return js_pow(a, b)
         if op in ("==", "!="):
             eq = loose_equals(l, r)
             return eq if op == "==" else not eq
@@ -653,7 +680,10 @@ def loose_equals(l, r) -> bool:
     if isinstance(l, str) and isinstance(r, float):
         return js_to_number(l) == r
     if isinstance(l, int) and isinstance(r, float):
-        return not (r != r) and r == int(r) and l == int(r)
+        # non-finite floats never equal a BigInt (int(inf) would raise)
+        if r != r or r in (float("inf"), float("-inf")):
+            return False
+        return r == int(r) and l == int(r)
     if isinstance(l, float) and isinstance(r, int):
         return loose_equals(r, l)
     if isinstance(l, int) and isinstance(r, str):

@@ -83,28 +83,35 @@ class Lexer:
             if c == "\n":
                 raise self.error("unterminated string")
             if c == "\\":
-                self.i += 1
-                e = s[self.i]
-                if e == "u":
-                    if s[self.i + 1] == "{":
-                        j = s.find("}", self.i)
-                        out.append(chr(int(s[self.i + 2:j], 16)))
-                        self.i = j + 1
-                    else:
-                        out.append(chr(int(s[self.i + 1:self.i + 5], 16)))
-                        self.i += 5
-                elif e == "x":
-                    out.append(chr(int(s[self.i + 1:self.i + 3], 16)))
-                    self.i += 3
-                else:
-                    out.append(_ESCAPES.get(e, e))
-                    self.i += 1
-                    if e == "\n":
-                        self.line += 1
+                out.append(self._escape())
             else:
                 out.append(c)
                 self.i += 1
         raise self.error("unterminated string")
+
+    def _escape(self) -> str:
+        """Decode the escape sequence at self.i (pointing at the backslash);
+        shared by quoted strings and template literals."""
+        s = self.src
+        self.i += 1
+        e = s[self.i]
+        if e == "u":
+            if s[self.i + 1] == "{":
+                j = s.find("}", self.i)
+                out = chr(int(s[self.i + 2:j], 16))
+                self.i = j + 1
+                return out
+            out = chr(int(s[self.i + 1:self.i + 5], 16))
+            self.i += 5
+            return out
+        if e == "x":
+            out = chr(int(s[self.i + 1:self.i + 3], 16))
+            self.i += 3
+            return out
+        self.i += 1
+        if e == "\n":
+            self.line += 1
+        return _ESCAPES.get(e, e)
 
     def _template(self) -> list:
         """Scan `...` into parts: ('str', cooked) | ('expr', raw, line)."""
@@ -120,9 +127,7 @@ class Lexer:
                     parts.append(("str", "".join(buf)))
                 return parts
             if c == "\\":
-                e = s[self.i + 1]
-                buf.append(_ESCAPES.get(e, e))
-                self.i += 2
+                buf.append(self._escape())
                 continue
             if c == "$" and self.i + 1 < self.n and s[self.i + 1] == "{":
                 if buf:

@@ -538,15 +538,19 @@ def get_prop(interp, obj, name: str):
 
 
 def get_index(interp, obj, idx):
-    if isinstance(obj, JSArray) and isinstance(idx, float):
+    # fractional indices are PROPERTY keys in JS (arr[1.5] is undefined, not
+    # arr[1]) — truncating would hide divide-without-floor bugs in the JS
+    if (isinstance(idx, float) and not isinstance(idx, bool)
+            and math.isfinite(idx) and idx == int(idx)):
         i = int(idx)
-        return obj.items[i] if 0 <= i < len(obj.items) else UNDEF
-    if isinstance(obj, JSTypedArray) and isinstance(idx, float):
-        i = int(idx)
-        return obj.read(i) if 0 <= i < len(obj) else UNDEF
-    if isinstance(obj, str) and isinstance(idx, float):
-        i = int(idx)
-        return obj[i] if 0 <= i < len(obj) else UNDEF
+        if isinstance(obj, JSArray):
+            return obj.items[i] if 0 <= i < len(obj.items) else UNDEF
+        if isinstance(obj, JSTypedArray):
+            return obj.read(i) if 0 <= i < len(obj) else UNDEF
+        if isinstance(obj, str):
+            return obj[i] if 0 <= i < len(obj) else UNDEF
+    elif isinstance(idx, float) and isinstance(obj, (JSArray, JSTypedArray, str)):
+        return UNDEF
     return get_prop(interp, obj, js_to_string(idx))
 
 
@@ -597,14 +601,18 @@ def _array_set_index(arr: JSArray, i: int, value):
 
 
 def set_index(interp, obj, idx, value):
-    if isinstance(obj, JSArray) and isinstance(idx, float):
-        _array_set_index(obj, int(idx), value)
-        return
-    if isinstance(obj, JSTypedArray) and isinstance(idx, float):
-        i = int(idx)
-        if 0 <= i < len(obj):
-            obj.write(i, value)
-        return
+    if (isinstance(idx, float) and not isinstance(idx, bool)
+            and math.isfinite(idx) and idx == int(idx)):
+        if isinstance(obj, JSArray):
+            _array_set_index(obj, int(idx), value)
+            return
+        if isinstance(obj, JSTypedArray):
+            i = int(idx)
+            if 0 <= i < len(obj):
+                obj.write(i, value)
+            return
+    elif isinstance(idx, float) and isinstance(obj, (JSArray, JSTypedArray)):
+        return  # fractional index: JS expando we don't model; never truncate
     set_prop(interp, obj, js_to_string(idx), value)
 
 
@@ -630,44 +638,44 @@ def native_instanceof(l, ctor: NativeFunction) -> bool:
 # ------------------------------------------------------------- global env
 
 def _math_obj() -> JSObject:
+    # numpy float64 semantics ARE JS number semantics at the edges:
+    # exp(1000)=Infinity (not OverflowError), floor(Infinity)=Infinity,
+    # sqrt(-1)=NaN, log(0)=-Infinity — so every unary routes through np
+    # under errstate-ignore instead of Python's raising math module.
     fns = {
-        "abs": abs, "ceil": lambda v: float(math.ceil(v)),
-        "floor": lambda v: float(math.floor(v)),
-        "round": lambda v: float(math.floor(v + 0.5)),
-        "trunc": lambda v: float(math.trunc(v)),
-        "sqrt": lambda v: math.sqrt(v) if v >= 0 else float("nan"),
-        "exp": math.exp, "sin": math.sin, "cos": math.cos, "tan": math.tan,
-        "tanh": math.tanh, "atan": math.atan, "asin": math.asin,
-        "acos": math.acos,
-        "log": lambda v: math.log(v) if v > 0 else (
-            float("-inf") if v == 0 else float("nan")),
-        "log2": lambda v: math.log2(v) if v > 0 else (
-            float("-inf") if v == 0 else float("nan")),
-        "log10": lambda v: math.log10(v) if v > 0 else (
-            float("-inf") if v == 0 else float("nan")),
-        "sign": lambda v: float(np.sign(v)),
-        "fround": lambda v: float(np.float32(v)),
-        "cbrt": lambda v: math.copysign(abs(v) ** (1.0 / 3.0), v),
-        "atan2": None, "pow": None, "max": None, "min": None, "hypot": None,
+        "abs": np.abs, "ceil": np.ceil, "floor": np.floor,
+        "round": lambda v: np.floor(v + 0.5),  # JS half-up, not banker's
+        "trunc": np.trunc, "sqrt": np.sqrt, "exp": np.exp,
+        "sin": np.sin, "cos": np.cos, "tan": np.tan, "tanh": np.tanh,
+        "atan": np.arctan, "asin": np.arcsin, "acos": np.arccos,
+        "sinh": np.sinh, "cosh": np.cosh,
+        "log": np.log, "log2": np.log2, "log10": np.log10,
+        "log1p": np.log1p, "expm1": np.expm1,
+        "sign": np.sign, "cbrt": np.cbrt,
+        "fround": lambda v: np.float64(np.float32(v)),
     }
     props = {}
     for n, f in fns.items():
-        if f is None:
-            continue
         def mk(f):
             def impl(this, args):
-                try:
-                    return float(f(js_to_number(_arg(args, 0, float("nan")))))
-                except (ValueError, OverflowError):
-                    return float("nan")
+                with np.errstate(all="ignore"):
+                    return float(f(np.float64(js_to_number(
+                        _arg(args, 0, float("nan"))))))
             return impl
         props[n] = NativeFunction(n, mk(f))
-    props["pow"] = NativeFunction("pow", lambda t, a: float(
-        js_to_number(_arg(a, 0)) ** js_to_number(_arg(a, 1))))
-    props["atan2"] = NativeFunction("atan2", lambda t, a: math.atan2(
-        js_to_number(_arg(a, 0)), js_to_number(_arg(a, 1))))
-    props["hypot"] = NativeFunction("hypot", lambda t, a: math.hypot(
-        *[js_to_number(x) for x in a]))
+
+    def _binary(name, f):
+        def impl(this, args):
+            with np.errstate(all="ignore"):
+                return float(f(np.float64(js_to_number(_arg(args, 0))),
+                               np.float64(js_to_number(_arg(args, 1)))))
+        return NativeFunction(name, impl)
+
+    props["pow"] = _binary("pow", np.power)
+    props["atan2"] = _binary("atan2", np.arctan2)
+    props["hypot"] = NativeFunction("hypot", lambda t, a: float(
+        np.hypot.reduce([np.float64(js_to_number(x)) for x in a])
+        if a else 0.0))
 
     def _max(this, args):
         if not args:

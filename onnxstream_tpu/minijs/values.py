@@ -375,6 +375,13 @@ def js_to_number(v) -> float:
     return float("nan")
 
 
+def js_pow(a: float, b: float) -> float:
+    """JS exponentiation: negative base with fractional exponent is NaN (not
+    complex), overflow saturates to +/-Infinity, NaN**0 is 1."""
+    with np.errstate(all="ignore"):
+        return float(np.power(np.float64(a), np.float64(b)))
+
+
 def to_int32(v: float) -> int:
     if v != v or v in (float("inf"), float("-inf")):
         return 0

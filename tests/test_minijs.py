@@ -181,6 +181,48 @@ def test_engine_rejects_unsupported():
         run("function* gen() { yield 1; }")
 
 
+def test_number_edge_semantics_match_js():
+    """Round-4 review findings: edges where Python's math raises or goes
+    complex but JS saturates to NaN/Infinity."""
+    assert np.isnan(ev("(-2) ** 0.5"))
+    assert ev("1e300 ** 2") == float("inf")
+    assert np.isnan(ev("Math.pow(-2, 0.5)"))
+    assert ev("Math.pow(1e300, 2)") == float("inf")
+    assert ev("Math.exp(1000)") == float("inf")
+    assert ev("Math.exp(-1000)") == 0.0
+    assert ev("Math.floor(Infinity)") == float("inf")
+    assert np.isnan(ev("Math.sqrt(-1)"))
+    assert ev("Math.log(0)") == float("-inf")
+    # the Sigmoid kernel's exact failure mode: huge negative logit
+    assert ev("1 / (1 + Math.exp(-(-800)))") == 0.0
+    assert not ev("1n == Infinity")
+    assert not ev("1n == NaN")
+
+
+def test_for_let_per_iteration_bindings():
+    assert logs("""
+    const fns = [];
+    for (let i = 0; i < 3; i++) fns.push(() => i);
+    console.log(fns.map(f => f()).join(','));
+    """) == ["0,1,2"]
+
+
+def test_computed_delete_and_fractional_index():
+    assert logs("""
+    const o = { big: 1 };
+    const k = 'big';
+    delete o[k];
+    const a = [10, 20, 30];
+    a[1.5] = 99;  // property write, must NOT clobber a[1]
+    console.log('big' in o, a[1.5] === undefined || a[1.5] === 99, a[1], a[3 / 2]);
+    """) == ["false true 20 undefined"]
+
+
+def test_template_escapes_match_string_escapes():
+    assert ev("`\\u0041\\x42\\n`") == "AB\n"
+    assert ev("'\\u0041\\x42\\n'") == "AB\n"
+
+
 def test_engine_parses_every_repo_js_file():
     """Grammar-coverage gate: every shipped .js (and every example page's
     inline script) must stay inside minijs's supported subset, so the
