@@ -46,20 +46,16 @@ import time
 import numpy as np
 
 # Repo-local persistent compile cache: /tmp does NOT survive to the next
-# driver run, but the workspace does (tests/conftest.py's .cache/jax_tests
-# demonstrably persists) — so a warm cache turns the ~200 s headline compile
-# into seconds and leaves the children nearly the whole wall budget. Set
-# through jax.config (see _setup_cache), NOT the env var: sitecustomize
-# imports jax before this script body runs, so the env var is read too late.
-_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "jax_bench")
+# driver run, but the workspace does — a warm cache turns the ~200 s
+# headline compile into a program load and leaves the children nearly the
+# whole wall budget (one shared definition: utils/compile_cache.py).
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _setup_cache():
-    import jax
+    from onnxstream_tpu.utils.compile_cache import setup_repo_compile_cache
 
-    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    setup_repo_compile_cache()
 
 
 BASELINE_UNET_MS = 18200.0
@@ -267,7 +263,13 @@ def _streamed_measure(wall_budget: float) -> dict:
         results = {}
         tf = time.time()
         nxt = ex._fetch_segment_weights(segs[0], 0)
-        jax.block_until_ready(nxt)
+        # force REAL arrival of segment 0: on the tunneled backend
+        # block_until_ready returns at local staging (docs/tpu_notes.md) —
+        # only a device->host readback proves the bytes crossed the link;
+        # transfers are FIFO so reading one element of the LAST weight
+        # forces the whole segment (same trick as the calibration pass)
+        last_w = nxt[-1]
+        np.asarray(last_w[(0,) * last_w.ndim])
         t1 = time.time()
         for si in range(k):
             weights = nxt

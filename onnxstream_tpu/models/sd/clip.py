@@ -34,12 +34,18 @@ CLIP_TINY_G = ClipConfig(
 )
 
 
-def build_text_encoder(cfg: ClipConfig = CLIP_L, seed: int = 0) -> GraphBuilder:
-    g = GraphBuilder(seed=seed)
+def build_text_encoder(cfg: ClipConfig = CLIP_L, seed: int = 0,
+                       lazy_weights: bool = False) -> GraphBuilder:
+    # lazy_weights: big weights stay LazyArray placeholders so perf harnesses
+    # (SessionConfig.synthetic_device_weights) never host-materialize them —
+    # the token embedding alone is vocab x width (253 MB f32 for CLIP-bigG)
+    g = GraphBuilder(seed=seed, lazy_weights=lazy_weights)
     d, L = cfg.width, cfg.seq
     tokens = g.input("tokens", (1, L))
 
-    tok_emb = g.weight("embeddings.token_embedding.weight", g.randn(cfg.vocab_size, d, scale=0.02))
+    tok_emb = g.gen_weight("embeddings.token_embedding.weight",
+                           lambda: g.randn(cfg.vocab_size, d, scale=0.02),
+                           shape=(cfg.vocab_size, d))
     x = g.emit("Gather", [tok_emb, tokens], [(1, L, d)], {"axis": 0}, name="embeddings/gather")
     pos = g.weight("embeddings.position_embedding.weight", g.randn(L, d, scale=0.02))
     x = g.add(x, pos, out_shape=(1, L, d), name="embeddings/add_pos")
@@ -75,6 +81,7 @@ def build_text_encoder(cfg: ClipConfig = CLIP_L, seed: int = 0) -> GraphBuilder:
         pooled = g.emit("Gather", [final, idx], [(1, 1, d)], {"axis": 1}, name="pool/gather")
         pooled = g.reshape(pooled, (1, d), name="pool/flatten")
         pd = cfg.proj_dim or d
-        proj = g.weight("text_projection.weight", g.randn(d, pd))
+        proj = g.gen_weight("text_projection.weight",
+                            lambda: g.randn(d, pd), shape=(d, pd))
         g.emit("MatMul", [pooled, proj], [(1, pd)], name="pool/proj", out_names=["pooled_output"])
     return g

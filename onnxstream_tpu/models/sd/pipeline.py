@@ -171,15 +171,18 @@ class StableDiffusionPipeline:
             s.read_string(builder.to_text())
             return s
 
-        te = mk(build_text_encoder(ccfg, seed=seed))
-        te2 = mk(build_text_encoder(ccfg2, seed=seed + 7)) if ccfg2 else None
+        te = mk(build_text_encoder(ccfg, seed=seed, lazy_weights=on_device))
+        te2 = (mk(build_text_encoder(ccfg2, seed=seed + 7, lazy_weights=on_device))
+               if ccfg2 else None)
         un = mk(build_unet(ucfg, batch=batch, seed=seed + 1, lazy_weights=on_device))
         lat = ucfg.sample_size
-        vd = mk(build_vae_decoder(dataclasses.replace(vcfg, sample=lat), seed=seed + 2))
+        vd = mk(build_vae_decoder(dataclasses.replace(vcfg, sample=lat), seed=seed + 2,
+                                  lazy_weights=on_device))
         # tile decoder: same weights (identical builder stream), tile-sized
         # input — the synthetic analog of the reference's *_l32 model
         tile_sz = max(lat // 2, 4)
-        vt = mk(build_vae_decoder(dataclasses.replace(vcfg, sample=tile_sz), seed=seed + 2))
+        vt = mk(build_vae_decoder(dataclasses.replace(vcfg, sample=tile_sz), seed=seed + 2,
+                                  lazy_weights=on_device))
         # tiny test vocab: a-z single letters plus common words (ids < 1000)
         vocab = {chr(ord("a") + i) + "</w>": 10 + i for i in range(26)}
         for i, w in enumerate(["cat", "dog", "photo", "of", "fluffy", "horse", "astronaut", "riding", "mars", "on", "the", "an"]):

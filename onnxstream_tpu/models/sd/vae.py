@@ -55,8 +55,12 @@ def _attn(g: GraphBuilder, x: T, groups: int, name: str) -> T:
     return g.add(x, y, name=f"{name}/res")
 
 
-def build_vae_decoder(cfg: VaeConfig = VAE_SD, latent_hw: Tuple[int, int] = None, seed: int = 0) -> GraphBuilder:
-    g = GraphBuilder(seed=seed)
+def build_vae_decoder(cfg: VaeConfig = VAE_SD, latent_hw: Tuple[int, int] = None,
+                      seed: int = 0, lazy_weights: bool = False) -> GraphBuilder:
+    # lazy_weights: conv weights (via g.conv -> gen_weight) stay LazyArray
+    # placeholders for device-synthesized perf runs; the few explicit
+    # weights below are tiny and stay eager
+    g = GraphBuilder(seed=seed, lazy_weights=lazy_weights)
     lh, lw = latent_hw or (cfg.sample, cfg.sample)
     top = cfg.base * cfg.mult[-1]
     z = g.input("latent", (1, cfg.latent_channels, lh, lw))

@@ -146,6 +146,49 @@ def build_segments(plan: Plan, fetch_names: Sequence[str]) -> List[Segment]:
     return segments
 
 
+SYNTH_SCALE = 0.02  # N(0, SYNTH_SCALE) float weights; s8 scale derives from it
+
+
+def _synth_generate(specs, out_shardings=None, seed: int = 0):
+    """ONE jitted jax.random program generating every synthetic weight in
+    `specs` = [(shape, np_dtype, kind)], kind in {'normal','s8','u8'}.
+    Shared by synthesize_segment_weights (explicit harness path) and
+    _synthesize_missing (config-driven path) so the two can never drift —
+    with AUTO-layout Formats folded in as out_shardings, generation AND
+    relayout are one program (a per-weight device_put relayout loop is ~400
+    serialized control-channel RPCs over the tunneled chip)."""
+
+    def _gen(key0):
+        outs = []
+        for i, (shp, dt, kind) in enumerate(specs):
+            k = jax.random.fold_in(key0, i)
+            if kind == "s8":
+                outs.append(jax.random.randint(k, shp, -127, 128, jnp.int8))
+            elif kind == "u8":
+                outs.append(
+                    jax.random.randint(k, shp, 0, 256, jnp.int32).astype(jnp.uint8)
+                )
+            else:
+                outs.append(
+                    (SYNTH_SCALE * jax.random.normal(k, shp, jnp.float32)).astype(dt)
+                )
+        return outs
+
+    if not specs:
+        return []
+    jit_kw = {}
+    if out_shardings is not None:
+        jit_kw["out_shardings"] = out_shardings
+    return jax.jit(_gen, **jit_kw)(jax.random.key(seed))
+
+
+def _stamp_s8_quant(w: "WeightArg") -> None:
+    """Quant params for a device-synthesized s8 weight: a flat per-channel
+    scale — decode math only needs the dtypes and shapes to be real."""
+    w.quant = (np.full((w.shape[-1],), SYNTH_SCALE / 127.0, np.float32), 0.0)
+    w.symmetric = True
+
+
 class Executor:
     def __init__(self, plan: Plan, provider: WeightsProvider):
         self.plan = plan
@@ -297,40 +340,15 @@ class Executor:
         specs = [(seg.weight_args[wi].shape,
                   np.dtype(seg.weight_args[wi].upload_dtype), kinds[wi])
                  for wi in big]
-
-        def _gen(key):
-            outs = []
-            for i, (shp, dt, kind) in enumerate(specs):
-                k = jax.random.fold_in(key, i)
-                if kind == "s8":
-                    outs.append(jax.random.randint(k, shp, -127, 128, jnp.int8))
-                elif kind == "u8":
-                    outs.append(
-                        jax.random.randint(k, shp, 0, 256, jnp.int32).astype(jnp.uint8)
-                    )
-                else:
-                    outs.append(
-                        (0.02 * jax.random.normal(k, shp, jnp.float32)).astype(dt)
-                    )
-            return outs
-
-        # The AUTO-layout Formats go in as the generator's out_shardings so
-        # generation AND relayout are ONE compiled program — a per-weight
-        # jax.device_put(dev, fmt) loop is ~400 serialized RPCs over the
-        # tunneled control channel (~0.5 s each = minutes of stall; the
-        # round-3 bench hang traced exactly here).
-        jit_kw = {}
-        if formats is not None and big:
-            jit_kw["out_shardings"] = [formats[wi] for wi in big]
-        gen = jax.jit(_gen, **jit_kw)(jax.random.key(seed)) if big else []
+        gen = _synth_generate(
+            specs,
+            out_shardings=[formats[wi] for wi in big] if (formats is not None and big) else None,
+            seed=seed,
+        )
         gen_by_wi = dict(zip(big, gen))
         for wi in big:
             if kinds[wi] == "s8":
-                w = seg.weight_args[wi]
-                # a flat per-channel scale: decode math only needs the dtypes
-                # and shapes to be the real ones
-                w.quant = (np.full((w.shape[-1],), 0.02 / 127.0, np.float32), 0.0)
-                w.symmetric = True
+                _stamp_s8_quant(seg.weight_args[wi])
         # small/non-float weights: host-convert individually (quant flags,
         # provider writeback), then ship in ONE batched device_put
         small_wis, small_arrs, small_dsts = [], [], []
@@ -409,32 +427,15 @@ class Executor:
             return {}
         specs = [(tuple(w.shape), np.dtype(w.upload_dtype), kind)
                  for _, w, _, _, kind in plan_items]
-
-        def _gen(key0):
-            outs = []
-            for i, (shp, dt, kind) in enumerate(specs):
-                k = jax.random.fold_in(key0, i)
-                if kind == "s8":
-                    outs.append(jax.random.randint(k, shp, -127, 128, jnp.int8))
-                elif kind == "u8":
-                    outs.append(
-                        jax.random.randint(k, shp, 0, 256, jnp.int32).astype(jnp.uint8)
-                    )
-                else:
-                    outs.append((0.02 * jax.random.normal(k, shp, jnp.float32)).astype(dt))
-            return outs
-
-        jit_kw = {}
-        if formats is not None:
-            jit_kw["out_shardings"] = [fmt for _, _, fmt, _, _ in plan_items]
-        gen = jax.jit(_gen, **jit_kw)(jax.random.key(0))
+        gen = _synth_generate(
+            specs,
+            out_shardings=([fmt for _, _, fmt, _, _ in plan_items]
+                           if formats is not None else None),
+        )
         out_by_name: Dict[str, jax.Array] = {}
         for (wi, w, fmt, key, kind), dev in zip(plan_items, gen):
             if kind == "s8":
-                # a flat per-channel scale: decode math only needs the dtypes
-                # and shapes to be the real ones
-                w.quant = (np.full((w.shape[-1],), 0.02 / 127.0, np.float32), 0.0)
-                w.symmetric = True
+                _stamp_s8_quant(w)
             if resident:
                 if key is not None:
                     self._device_weight_cache[key] = (dev, w.quant, w.symmetric)

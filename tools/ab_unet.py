@@ -14,16 +14,11 @@ import os
 import sys
 import time
 
-import jax as _jax
-
-_jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".cache", "jax_bench"),
-)
-_jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from onnxstream_tpu.utils.compile_cache import setup_repo_compile_cache  # noqa: E402
+
+setup_repo_compile_cache()
 
 import numpy as np
 
@@ -79,6 +74,10 @@ def main() -> None:
         batch = cfg_kw.pop("_batch", 1)
         w8a8 = cfg_kw.pop("_w8a8", False)
         g, text = _graph(batch)
+        # the mark threshold MUST equal the synthesis gate (min_bytes // 4,
+        # f32-source elements): a u8-marked weight below the synth gate would
+        # fall into the host-fetch path, whose provider only has f32 data
+        synth_min_bytes = (1 << 10) if tiny else (1 << 20)
         if w8a8 and batch not in qtexts:
             from onnxstream_tpu.convert.quantize import mark_weights_uint8
             from onnxstream_tpu.ir import parse_model_txt
@@ -87,7 +86,7 @@ def main() -> None:
             # provider is never asked for u8 data it doesn't have)
             qt, marked = mark_weights_uint8(
                 text, {k: v.shape for k, v in g.weights.items()},
-                min_elements=1 << (8 if tiny else 18),
+                min_elements=synth_min_bytes // 4,
             )
             qtexts[batch] = (qt, {op.name: (-4.0, 4.0)
                                   for op in parse_model_txt(qt).ops})
@@ -126,8 +125,7 @@ def main() -> None:
         _mark("session+plan")
         seg = ex.segments[0]
         out_name = "out_sample" if "out_sample" in seg.out_names else seg.out_names[0]
-        weights = ex.synthesize_segment_weights(
-            seg, min_bytes=(1 << 10) if tiny else (1 << 20))
+        weights = ex.synthesize_segment_weights(seg, min_bytes=synth_min_bytes)
         _mark("weights synthesized (dispatched)")
         acts = {k: jax.device_put(np.asarray(v, np.float32)) for k, v in inputs.items()}
         cf = ex._compiled(0)

@@ -16,20 +16,13 @@ import os
 import sys
 import time
 
-# repo-local persistent compile cache (survives across driver runs; /tmp
-# does not) — shared with bench.py so its children warm-start. Set through
-# jax.config, NOT the env var: this environment's sitecustomize imports jax
-# before any script body runs, so the env var is read too late.
-_CACHE_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache", "jax_bench"
-)
-import jax  # noqa: E402
-
-jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# repo-local persistent compile cache (survives across driver rounds; /tmp
+# does not) — shared with bench.py so its children warm-start
+from onnxstream_tpu.utils.compile_cache import setup_repo_compile_cache  # noqa: E402
+
+setup_repo_compile_cache()
 
 import numpy as np
 
