@@ -100,23 +100,35 @@ def _time_unet_session(s, inputs, n_iter: int = 100):
     """Warmup (forced by a readback) + n chained device-resident steps.
 
     Returns (step_ms, out_probe). Big float weights are device-synthesized
-    unless OSTPU_BENCH_UPLOAD=1 (see main)."""
+    unless OSTPU_BENCH_UPLOAD=1 (see main). Stage marks on stderr: setup
+    wall time swings 77-400 s across tunnel hours with the SAME warm cache
+    (2026-08-19 observations), so each record must say where its setup went
+    (plan vs synthesis vs program load/compile vs warmup forcing)."""
     import jax
+
+    t0 = time.time()
+
+    def _m(stage):
+        print(f"# unet {stage} t+{time.time() - t0:.0f}s", file=sys.stderr, flush=True)
 
     ex = s._executor()
     seg = ex.segments[0]
+    _m("planned")
     out_name = "out_sample" if "out_sample" in seg.out_names else seg.out_names[0]
     if os.environ.get("OSTPU_BENCH_UPLOAD", "") == "1":
         weights = ex._fetch_segment_weights(seg)
     else:
         weights = ex.synthesize_segment_weights(seg)
+    _m("weights dispatched")
     acts = {k: jax.device_put(np.asarray(v, np.float32)) for k, v in inputs.items()}
     cf = ex._compiled(0)
+    _m("program ready")
     r = cf(weights, acts)
     a = dict(acts)
     a["sample"] = r[out_name]  # feedback signature (sample in compute dtype)
     r = cf(weights, a)
     out_probe = np.asarray(r[out_name], np.float32)  # forcing readback
+    _m("warmup forced")
     t0 = time.time()
     for _ in range(n_iter):
         r = cf(weights, a)

@@ -149,6 +149,43 @@ def test_engine_executes_real_interp_js_tensor_ops():
     _assert_match(py, js)
 
 
+def test_engine_executes_real_interp_js_full_op_switch():
+    """Completes exec coverage of interp.js's ENTIRE op dispatch: Equal,
+    Less, ScatterND and the whole UNARY table (Sigmoid/Sqrt/Erf/Cos/Sin/
+    Neg/Relu/Exp/Tanh) — with the convnet and tensor-op graphs above, every
+    `case` in the JS switch now executes in CI."""
+    g = GraphBuilder(seed=4)
+    x = g.input("x", (2, 4))
+    eq = g.emit("Equal", [x, g.weight("zero", np.zeros((1,), np.float32))],
+                [(2, 4)], name="eq")
+    ls = g.emit("Less", [x, g.weight("half", np.array([0.5], np.float32))],
+                [(2, 4)], name="ls")
+    wh = g.emit("Where", [ls, x, g.weight("neg1", np.array([-1.0], np.float32))],
+                [(2, 4)], name="wh")
+    sc = g.emit("ScatterND", [wh, g.weight("sidx", np.array([[0], [1]], np.int64)),
+                              g.emit("Mul", [wh, wh], [(2, 4)], name="sq")],
+                [(2, 4)], name="sc")
+    cur = sc
+    for i, un in enumerate(["Sqrt", "Erf", "Cos", "Sin", "Neg", "Relu",
+                            "Exp", "Tanh", "Sigmoid"]):
+        # keep magnitudes tame so Exp/Sqrt stay finite: Sigmoid/Tanh/Cos/Sin
+        # naturally bound, Sqrt sees |x|<=1 post-Sigmoid etc.
+        cur = g.emit(un, [cur], [(2, 4)], name=f"u{i}_{un.lower()}")
+    # the Equal path surfaces through a Where (bool tensors aren't a
+    # comparable output: XLA keeps bool, the in-tab interpreter stores f32)
+    eqf = g.emit("Where", [eq, g.weight("nine", np.array([9.0], np.float32)), x],
+                 [(2, 4)], name="eqf")
+
+    text = g.to_text()
+    rng = np.random.RandomState(8)
+    inputs = {"x": (rng.rand(2, 4) * 0.8).astype(np.float32)}
+    inputs["x"][0, 0] = 0.0  # exercise the Equal-true branch
+    outs = [cur.name, eqf.name]
+    py = _run_py(text, g.weights, inputs, outs)
+    js = _run_js(text, g.weights, inputs, outs)
+    _assert_match(py, js, tol=5e-4)  # Erf is the A&S 7.1.26 approximation
+
+
 def test_engine_error_paths_match_api():
     """The JS surface's declared errors actually throw through minijs."""
     from onnxstream_tpu.minijs import JSThrow
