@@ -43,12 +43,16 @@ class WhisperPipeline:
     # ------------------------------------------------------------ constructors
     @classmethod
     def from_synthetic(cls, cfg: WhisperConfig = WHISPER_TINY_TEST, seed: int = 0,
-                       compute_dtype: str = "float32") -> "WhisperPipeline":
+                       compute_dtype: str = "float32",
+                       on_device: bool = False) -> "WhisperPipeline":
+        # on_device: big float weights device-synthesize instead of
+        # uploading (timing-only, same contract as the SD/LLM perf paths)
         enc_b = build_encoder(cfg, seed=seed)
 
         def mk(builder):
             s = Session(
-                config=SessionConfig(compute_dtype=compute_dtype, fuse_ops_in_attention=True),
+                config=SessionConfig(compute_dtype=compute_dtype, fuse_ops_in_attention=True,
+                                     synthetic_device_weights=on_device),
                 weights_provider=DictWeightsProvider(builder.weights),
             )
             s.read_string(builder.to_text())
