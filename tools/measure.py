@@ -253,6 +253,53 @@ def measure_whisper() -> None:
     )
 
 
+YOLO_DIR = "/root/reference/examples/YOLOv8n_wasm/yolov8n_fp32/"
+
+
+def measure_yolo() -> None:
+    """YOLOv8n 640x640 with the REAL model.txt + fp32 weights shipped in the
+    reference checkout — the one measurement that needs no synthetic
+    weights. Chained device-resident forwards (the 2 MB output readback per
+    frame is the app's real cost and is included via the final forcing
+    readback, amortized)."""
+    import jax
+
+    from onnxstream_tpu.runtime.config import SessionConfig
+    from onnxstream_tpu.runtime.session import Session
+
+    if not os.path.exists(YOLO_DIR + "model.txt"):
+        _emit(metric="yolov8n_640", skipped="reference model dir not present")
+        return
+    s = Session(config=SessionConfig(compute_dtype="float32"),
+                weights_provider_name="ram+prefetch")
+    s.read_string(open(YOLO_DIR + "model.txt").read(), weights_dir=YOLO_DIR)
+    rng = np.random.RandomState(0)
+    img = rng.rand(1, 3, 640, 640).astype(np.float32)
+    s.add_tensor("images", img)
+    ex = s._executor()
+    seg = ex.segments[0]
+    weights = ex._fetch_segment_weights(seg)
+    cf = ex._compiled(0)
+    acts = ex._prepare_inputs({"images": img})
+    out = cf(weights, acts)
+    probe = np.asarray(out["output0"], np.float32)  # warm + force (full 2 MB)
+    m = 50
+    t0 = time.time()
+    for _ in range(m):
+        out = cf(weights, acts)
+    np.asarray(out["output0"])
+    frame_ms = (time.time() - t0) / m * 1e3
+    _emit(
+        metric="yolov8n_640",
+        frame_ms=round(frame_ms, 2),
+        fps=round(1e3 / frame_ms, 1),
+        boxes_rng=[round(float(probe[0, :4].min()), 1),
+                   round(float(probe[0, :4].max()), 1)],
+        scores_max=round(float(probe[0, 4:].max()), 3),
+        weights="REAL (reference checkout fp32)",
+    )
+
+
 def llm_bench_result(fast: bool = True) -> dict:
     """The bench.py child: bf16 AND int8 TinyLlama decode in ONE process so
     the int8 speedup is a same-hour ratio (the tunnel's hour-to-hour rate
@@ -301,6 +348,8 @@ def main() -> None:
         measure_sdxl()
     if "whisper" in sel:
         measure_whisper()
+    if "yolo" in sel:
+        measure_yolo()
     if "tinyllama-bench" in sel:
         measure_llm_bench(fast=True)
     for name in ("tinyllama", "tinyllama-int8", "mistral", "mistral-int8"):
