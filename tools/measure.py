@@ -171,13 +171,14 @@ def _measure_llm(cfg_name: str, int8: bool = False, fast: bool = False) -> None:
     )
 
 
-def measure_whisper() -> None:
+def whisper_bench_result() -> dict:
     """Whisper-base STT timing: warm encoder forward (forced) + chained
     decode-step rate. The decode loop itself is host-looped by design
     (reference parity: per-token argmax + suppression on the host), so its
     per-token wall time on this tunneled chip is WAN RTT, not compute —
     the chained compiled step is the device-rate measurement, same
-    discipline as the UNet/LLM benches."""
+    discipline as the UNet/LLM benches. Returns the result dict (bench.py
+    child); measure_whisper prints it."""
     import jax
 
     from onnxstream_tpu.models.whisper.mel import log_mel_spectrogram
@@ -242,7 +243,7 @@ def measure_whisper() -> None:
                  mangle("in_n_layer_self_v_cache"): out[mangle("out_n_layer_self_v_cache")]})
     np.asarray(out[mangle("logits")])
     step_ms = (time.time() - t0) / m * 1e3
-    _emit(
+    return dict(
         metric="whisper_base_stt",
         encoder_ms=round(enc_ms, 1),
         decode_step_ms=round(step_ms, 2),
@@ -251,6 +252,10 @@ def measure_whisper() -> None:
         params_m=round(sum(int(np.prod(w.shape)) for w in seg.weight_args) / 1e6, 0),
         weights="synthetic-device" if _synth() else "synthetic-host-upload",
     )
+
+
+def measure_whisper() -> None:
+    _emit(**whisper_bench_result())
 
 
 YOLO_DIR = "/root/reference/examples/YOLOv8n_wasm/yolov8n_fp32/"
