@@ -108,6 +108,19 @@ def shard_weights(mesh: Mesh, shapes: Sequence[Sequence[int]]) -> List[NamedShar
     return [NamedSharding(mesh, shard_weight_spec(s, tp)) for s in shapes]
 
 
+def kv_head_sharding(mesh: Mesh, shape: Sequence[int]) -> NamedSharding:
+    """Bucketed LLM KV cache (B, kv_heads, P, head_dim): shard the HEAD axis
+    over "tp" so each device holds the K/V of exactly the heads whose q/k/v
+    projection columns it owns (shard_weight_spec splits (din, H*hd) weights
+    on the output axis, i.e. contiguous head blocks). The in-graph ScatterND
+    cache write at `cache_len` then lands shard-locally and GQA's head-group
+    expansion never crosses a device. Replicates when kv_heads % tp != 0."""
+    tp = mesh.shape.get("tp", 1)
+    if len(shape) == 4 and tp > 1 and shape[1] % tp == 0:
+        return NamedSharding(mesh, P(None, "tp", None, None))
+    return NamedSharding(mesh, P())
+
+
 def activation_sharding(mesh: Mesh, shape: Sequence[int]) -> NamedSharding:
     """Batch-dim data parallelism + optional sequence parallelism: dim 0 over
     "dp" and dim 1 (sequence/spatial) over "sp" when divisible."""

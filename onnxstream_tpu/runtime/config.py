@@ -140,6 +140,11 @@ class SessionConfig:
     device: Optional[object] = None  # jax.Device to run on (default: first)
     mesh: Optional[object] = None  # jax.sharding.Mesh for multi-chip execution
     sharding_rules: Optional[object] = None  # parallel.sharding rules when mesh is set
+    # graph inputs whose axis 1 is a KV-head axis to shard over the mesh's
+    # "tp" axis (the LLM bucketed KV cache, (1, kv_heads, P, head_dim)); set
+    # by LlamaPipeline(mesh=...) so each device holds the K/V of its own
+    # attention heads (parallel.sharding.kv_head_sharding)
+    tp_kv_head_inputs: frozenset = frozenset()
     # pipeline-parallel segment placement: with hbm_budget_bytes > 0, segments
     # are pinned to these devices in contiguous blocks (weights resident per stage,
     # boundary activations hop over ICI) — fits models larger than one chip's

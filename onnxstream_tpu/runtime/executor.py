@@ -959,7 +959,8 @@ class Executor:
     def _prepare_inputs(self, inputs: Dict[str, np.ndarray]) -> Dict[str, Any]:
         mesh = self.config.mesh
         if mesh is not None:
-            from onnxstream_tpu.parallel.sharding import activation_sharding
+            from onnxstream_tpu.parallel.sharding import (
+                activation_sharding, kv_head_sharding)
 
         prepared = {}
         for k, aval in self.plan.input_avals.items():
@@ -972,7 +973,12 @@ class Executor:
             v = np.asarray(v)
             if v.dtype != aval.dtype:
                 v = v.astype(aval.dtype)
-            dst = activation_sharding(mesh, v.shape) if mesh is not None else self._device
+            if mesh is None:
+                dst = self._device
+            elif k in self.config.tp_kv_head_inputs:
+                dst = kv_head_sharding(mesh, v.shape)
+            else:
+                dst = activation_sharding(mesh, v.shape)
             prepared[k] = jax.device_put(v, dst)
         return prepared
 
