@@ -42,6 +42,11 @@ class Scope:
         self.vars[name] = value
 
 
+class _OptShortCircuit(Exception):
+    """Internal: a nullish base at an optional-chain link; caught by the
+    enclosing optchain node, never escapes to JS."""
+
+
 class BreakEx(Exception):
     pass
 
@@ -398,8 +403,34 @@ class Interp:
             obj = self.eval(e[1], scope, this)
             idx = self.eval(e[2], scope, this)
             return runtime.get_index(self, obj, idx)
+        if kind == "optchain":
+            # a?.b.c — one nullish optional link short-circuits the WHOLE
+            # remaining chain to undefined (spec OptionalExpression)
+            try:
+                return self.eval(e[1], scope, this)
+            except _OptShortCircuit:
+                return UNDEF
+        if kind in ("optmember", "optindex", "optcall"):
+            obj = self.eval(e[1], scope, this)
+            if obj is UNDEF or obj is NULL:
+                raise _OptShortCircuit()
+            if kind == "optmember":
+                return runtime.get_prop(self, obj, e[2])
+            if kind == "optindex":
+                return runtime.get_index(self, obj, self.eval(e[2], scope, this))
+            return self.call(obj, UNDEF, self.eval_args(e[2], scope, this))
         if kind == "call":
             callee = e[1]
+            if callee[0] in ("optmember", "optindex"):
+                obj = self.eval(callee[1], scope, this)
+                if obj is UNDEF or obj is NULL:
+                    raise _OptShortCircuit()
+                if callee[0] == "optmember":
+                    fn = runtime.get_prop(self, obj, callee[2])
+                else:
+                    fn = runtime.get_index(
+                        self, obj, self.eval(callee[2], scope, this))
+                return self.call(fn, obj, self.eval_args(e[2], scope, this))
             if callee[0] == "member":
                 obj = self.eval(callee[1], scope, this)
                 fn = runtime.get_prop(self, obj, callee[2])
@@ -463,14 +494,15 @@ class Interp:
             return v
         if kind == "update":
             _, op, target, prefix = e
-            old = self.eval(target, scope, this)
+            get, put = self._resolve_ref(target, scope, this)
+            old = get()
             if isinstance(old, int) and not isinstance(old, bool):
                 new = old + 1 if op == "++" else old - 1
             else:
                 n = js_to_number(old)
                 new = n + 1.0 if op == "++" else n - 1.0
                 old = n
-            self.assign_to(target, new, scope, this)
+            put(new)
             return new if prefix else old
         if kind == "binary":
             return self.binop(e[1], self.eval(e[2], scope, this),
@@ -490,6 +522,17 @@ class Interp:
                     else self.eval(e[3], scope, this))
         if kind == "assign":
             op, target, rhs = e[1], e[2], e[3]
+            if target[0] in ("member", "index"):
+                # spec order: the member reference (object, then computed
+                # key) evaluates BEFORE the rhs, and exactly once — compound
+                # ops must not re-evaluate a side-effecting index
+                get, put = self._resolve_ref(target, scope, this)
+                if op == "=":
+                    v = self.eval(rhs, scope, this)
+                else:
+                    v = self.binop(op[:-1], get(), self.eval(rhs, scope, this))
+                put(v)
+                return v
             if op == "=":
                 v = self.eval(rhs, scope, this)
             else:
@@ -505,6 +548,28 @@ class Interp:
         if kind == "spread":
             raise MiniJsError("spread outside call/array")
         raise MiniJsError(f"unsupported expression {kind}")
+
+    def _resolve_ref(self, target: tuple, scope: Scope, this):
+        """Evaluate an assignment target to a (get, put) pair with the base
+        object and any computed key evaluated exactly ONCE (spec Reference
+        semantics: `a[i()] += 1` calls i() once; `o[k()] = v()` runs k before
+        v — both caught by the conformance corpus)."""
+        kind = target[0]
+        if kind == "ident":
+            name = target[1]
+            return (lambda: self.eval(target, scope, this),
+                    lambda v: scope.set_existing(name, v))
+        if kind == "member":
+            obj = self.eval(target[1], scope, this)
+            prop = target[2]
+            return (lambda: runtime.get_prop(self, obj, prop),
+                    lambda v: runtime.set_prop(self, obj, prop, v))
+        if kind == "index":
+            obj = self.eval(target[1], scope, this)
+            idx = self.eval(target[2], scope, this)
+            return (lambda: runtime.get_index(self, obj, idx),
+                    lambda v: runtime.set_index(self, obj, idx, v))
+        raise MiniJsError(f"unsupported reference target {kind}")
 
     def assign_to(self, target: tuple, value, scope: Scope, this) -> None:
         kind = target[0]
@@ -643,8 +708,11 @@ class Interp:
             if isinstance(r, JSObject):
                 return js_to_string(l) in r.props
             if isinstance(r, JSArray):
+                key = js_to_string(l)
+                if key == "length":
+                    return True
                 n = js_to_number(l)
-                return 0 <= n < len(r.items)
+                return n == n and n == int(n) and 0 <= n < len(r.items)
             return False
         raise MiniJsError(f"unsupported operator {op}")
 
@@ -693,4 +761,13 @@ def loose_equals(l, r) -> bool:
             return False
     if isinstance(l, str) and isinstance(r, int):
         return loose_equals(r, l)
+    # object == primitive: ToPrimitive(object) then retry ([] == false is
+    # true via "" -> 0 == 0; spec step 11/12 of IsLooselyEqual). Plain
+    # objects/arrays have no valueOf here, so ToPrimitive is ToString.
+    l_obj = isinstance(l, (JSArray, JSObject, JSTypedArray))
+    r_obj = isinstance(r, (JSArray, JSObject, JSTypedArray))
+    if l_obj and isinstance(r, (float, int, str)):
+        return loose_equals(js_to_string(l), r)
+    if r_obj and isinstance(l, (float, int, str)):
+        return loose_equals(l, js_to_string(r))
     return strict_equals(l, r)

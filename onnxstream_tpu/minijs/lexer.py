@@ -21,7 +21,7 @@ class Token(NamedTuple):
 # longest-match-first punctuators (subset interp.js uses, plus the cheap rest)
 PUNCTS = [
     ">>>=", "...", "===", "!==", "**=", "<<=", ">>=", ">>>",
-    "=>", "==", "!=", "<=", ">=", "&&", "||", "??", "**", "++", "--",
+    "=>", "==", "!=", "<=", ">=", "&&", "||", "??", "?.", "**", "++", "--",
     "+=", "-=", "*=", "/=", "%=", "&=", "|=", "^=", "<<", ">>",
     "{", "}", "(", ")", "[", "]", ";", ",", "<", ">", "+", "-", "*", "/",
     "%", "&", "|", "^", "!", "~", "?", ":", "=", ".", "`",
@@ -175,14 +175,18 @@ class Lexer:
     def _number(self) -> Token:
         s = self.src
         start = self.i
-        if s[self.i] == "0" and self.i + 1 < self.n and s[self.i + 1] in "xX":
+        radix = {"x": (16, "0123456789abcdefABCDEF"), "b": (2, "01"),
+                 "o": (8, "01234567")}
+        if (s[self.i] == "0" and self.i + 1 < self.n
+                and s[self.i + 1].lower() in radix):
+            base, alphabet = radix[s[self.i + 1].lower()]
             self.i += 2
-            while self.i < self.n and s[self.i] in "0123456789abcdefABCDEF":
+            while self.i < self.n and s[self.i] in alphabet:
                 self.i += 1
             if self.i < self.n and s[self.i] == "n":
                 self.i += 1
-                return Token("bigint", int(s[start:self.i - 1], 16), self.line, False)
-            return Token("num", float(int(s[start:self.i], 16)), self.line, False)
+                return Token("bigint", int(s[start:self.i - 1], base), self.line, False)
+            return Token("num", float(int(s[start:self.i], base)), self.line, False)
         while self.i < self.n and s[self.i].isdigit():
             self.i += 1
         is_float = False
@@ -228,8 +232,12 @@ class Lexer:
             else:
                 for p in PUNCTS:
                     if self.src.startswith(p, self.i):
-                        # `?.` lookalike: we list no '?.' so '?' then '.' —
-                        # fine, interp.js never uses optional chaining
+                        # spec: `?.` followed by a digit is `?` then `.5`
+                        # (ternary with a fractional literal), not optional
+                        # chaining
+                        if (p == "?." and self.i + 2 < self.n
+                                and self.src[self.i + 2].isdigit()):
+                            p = "?"
                         out.append(Token("punct", p, line, nl))
                         self.i += len(p)
                         break

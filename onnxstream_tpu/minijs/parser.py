@@ -453,10 +453,22 @@ class Parser:
         return self.parse_member_chain(self.parse_primary())
 
     def parse_member_chain(self, e: tuple, no_call: bool = False) -> tuple:
+        has_opt = False
         while True:
             if self.eat("punct", "."):
                 name = self.expect("ident").value
                 e = ("member", e, name)
+            elif self.eat("punct", "?."):
+                has_opt = True
+                if self.at("punct", "["):
+                    self.next()
+                    idx = self.parse_expression()
+                    self.expect("punct", "]")
+                    e = ("optindex", e, idx)
+                elif self.at("punct", "(") and not no_call:
+                    e = ("optcall", e, self.parse_args())
+                else:
+                    e = ("optmember", e, self.expect("ident").value)
             elif self.at("punct", "["):
                 self.next()
                 idx = self.parse_expression()
@@ -465,7 +477,10 @@ class Parser:
             elif self.at("punct", "(") and not no_call:
                 e = ("call", e, self.parse_args())
             else:
-                return e
+                # one optional link short-circuits the whole chain: wrap it
+                # so the interpreter has a catch boundary (spec
+                # OptionalExpression coverage)
+                return ("optchain", e) if has_opt else e
 
     def parse_args(self) -> list:
         self.expect("punct", "(")

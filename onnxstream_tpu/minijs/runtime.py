@@ -15,7 +15,7 @@ from .errors import MiniJsError, JSThrow
 from .values import (
     NULL, UNDEF, JSArray, JSBoundMethod, JSClass, JSFunction, JSMap, JSObject,
     JSPromise, JSSet, JSTypedArray, NativeFunction, _TA_KINDS, js_to_number,
-    js_to_string, js_truthy, num_to_str, _type_error,
+    js_to_string, js_truthy, js_typeof, num_to_str, _type_error,
 )
 
 
@@ -162,17 +162,41 @@ def _array_prop(interp, arr: JSArray, name: str):
         def _indexof(a, args):
             from .interp import strict_equals
             t = _arg(args, 0)
-            for i, v in enumerate(a.items):
-                if strict_equals(v, t):
+            start = _int_arg(args, 1, 0)
+            if start < 0:
+                start = max(0, len(a.items) + start)
+            for i in range(start, len(a.items)):
+                if strict_equals(a.items[i], t):
                     return float(i)
             return -1.0
         return _method(name, arr, _indexof)
     if name == "includes":
         def _includes(a, args):
+            # SameValueZero, NOT strict equality: [NaN].includes(NaN) is true
             from .interp import strict_equals
             t = _arg(args, 0)
-            return any(strict_equals(v, t) for v in a.items)
+            t_nan = isinstance(t, float) and t != t
+            return any(strict_equals(v, t)
+                       or (t_nan and isinstance(v, float) and v != v)
+                       for v in a.items)
         return _method(name, arr, _includes)
+    if name == "findIndex":
+        def _find_index(a, args):
+            fn = args[0]
+            for i, v in enumerate(list(a.items)):
+                if js_truthy(interp.call(fn, UNDEF, [v, float(i), a])):
+                    return float(i)
+            return -1.0
+        return _method(name, arr, _find_index)
+    if name == "shift":
+        def _shift(a, args):
+            return a.items.pop(0) if a.items else UNDEF
+        return _method(name, arr, _shift)
+    if name == "unshift":
+        def _unshift(a, args):
+            a.items[:0] = list(args)
+            return float(len(a.items))
+        return _method(name, arr, _unshift)
     if name == "join":
         def _join(a, args):
             sep = _arg(args, 0)
@@ -248,6 +272,28 @@ def _array_prop(interp, arr: JSArray, name: str):
 
 # --------------------------------------------------------- string methods
 
+def _pad(s: str, args, left: bool) -> str:
+    n = _int_arg(args, 0, 0)
+    fill = js_to_string(_arg(args, 1, " ")) or ""
+    if n <= len(s) or not fill:
+        return s
+    pad = (fill * ((n - len(s)) // len(fill) + 1))[: n - len(s)]
+    return pad + s if left else s + pad
+
+
+def _substring(s: str, args) -> str:
+    def clamp(v):
+        n = js_to_number(v) if v is not UNDEF else float(len(s))
+        if n != n:
+            n = 0.0
+        return int(min(max(n, 0), len(s)))
+
+    a, b = clamp(_arg(args, 0, 0.0)), clamp(_arg(args, 1))
+    if a > b:
+        a, b = b, a
+    return s[a:b]
+
+
 def _string_prop(interp, s: str, name: str):
     if name == "length":
         return float(len(s))
@@ -273,14 +319,16 @@ def _string_prop(interp, s: str, name: str):
         "charAt": lambda s, args: (s[_int_arg(args, 0, 0)]
                                    if 0 <= _int_arg(args, 0, 0) < len(s) else ""),
         "repeat": lambda s, args: s * _int_arg(args, 0, 0),
-        "padStart": lambda s, args: s.rjust(_int_arg(args, 0, 0),
-                                            js_to_string(_arg(args, 1, " ")) or " "),
+        "padStart": lambda s, args: _pad(s, args, left=True),
+        "padEnd": lambda s, args: _pad(s, args, left=False),
         "replace": lambda s, args: s.replace(js_to_string(args[0]),
                                              js_to_string(args[1]), 1),
         "replaceAll": lambda s, args: s.replace(js_to_string(args[0]),
                                                 js_to_string(args[1])),
-        "substring": lambda s, args: s[slice(*_norm_slice(len(s), _arg(args, 0),
-                                                          _arg(args, 1)))],
+        # substring clamps to [0, len] and SWAPS out-of-order args — slice
+        # semantics (negatives from the end) are wrong here:
+        # 'abc'.substring(2, 0) is 'ab'
+        "substring": lambda s, args: _substring(s, args),
         "concat": lambda s, args: s + "".join(js_to_string(a) for a in args),
         "toString": lambda s, args: s,
     }
@@ -637,6 +685,17 @@ def native_instanceof(l, ctor: NativeFunction) -> bool:
 
 # ------------------------------------------------------------- global env
 
+def _ordered_keys(props: dict) -> list:
+    """Spec OrdinaryOwnPropertyKeys order: array-index-like keys ascending
+    FIRST, then string keys in insertion order — Object.keys({b:1, 2:2,
+    a:3, 1:4}) is ['1','2','b','a'], not insertion order."""
+    def is_index(k: str) -> bool:
+        return k.isdigit() and (k == "0" or not k.startswith("0"))
+
+    ints = sorted((k for k in props if is_index(k)), key=int)
+    return ints + [k for k in props if not is_index(k)]
+
+
 def _math_obj() -> JSObject:
     # numpy float64 semantics ARE JS number semantics at the edges:
     # exp(1000)=Infinity (not OverflowError), floor(Infinity)=Infinity,
@@ -644,7 +703,10 @@ def _math_obj() -> JSObject:
     # under errstate-ignore instead of Python's raising math module.
     fns = {
         "abs": np.abs, "ceil": np.ceil, "floor": np.floor,
-        "round": lambda v: np.floor(v + 0.5),  # JS half-up, not banker's
+        # JS half-up, not banker's; a zero result keeps the operand's sign
+        # (Math.round(-0.5) is -0, so 1/Math.round(-0.5) is -Infinity)
+        "round": lambda v: np.copysign(np.floor(v + 0.5), v)
+        if np.floor(v + 0.5) == 0 else np.floor(v + 0.5),
         "trunc": np.trunc, "sqrt": np.sqrt, "exp": np.exp,
         "sin": np.sin, "cos": np.cos, "tan": np.tan, "tanh": np.tanh,
         "atan": np.arctan, "asin": np.arcsin, "acos": np.arccos,
@@ -799,12 +861,14 @@ def make_globals(engine) -> dict:
     obj_ctor = NativeFunction("Object", _object_ctor)
     obj_ctor.props = {
         "keys": NativeFunction("keys", lambda t, a: JSArray(
-            list(_arg(a, 0).props) if isinstance(_arg(a, 0), JSObject) else [])),
+            _ordered_keys(_arg(a, 0).props)
+            if isinstance(_arg(a, 0), JSObject) else [])),
         "values": NativeFunction("values", lambda t, a: JSArray(
-            list(_arg(a, 0).props.values())
+            [_arg(a, 0).props[k] for k in _ordered_keys(_arg(a, 0).props)]
             if isinstance(_arg(a, 0), JSObject) else [])),
         "entries": NativeFunction("entries", lambda t, a: JSArray(
-            [JSArray([k, v]) for k, v in _arg(a, 0).props.items()]
+            [JSArray([k, _arg(a, 0).props[k]])
+             for k in _ordered_keys(_arg(a, 0).props)]
             if isinstance(_arg(a, 0), JSObject) else [])),
         "assign": NativeFunction("assign", lambda t, a: (
             [a[0].props.update(s.props) for s in a[1:]
@@ -904,10 +968,13 @@ def make_globals(engine) -> dict:
 
     def _parse_int(this, args):
         s = js_to_string(_arg(args, 0, "")).strip()
-        radix = _int_arg(args, 1, 10) or 10
+        radix = _int_arg(args, 1, 0)
         neg = s.startswith("-")
         if s[:1] in "+-":
             s = s[1:]
+        # spec: radix 0/undefined auto-detects an 0x prefix as hex
+        if radix == 0:
+            radix = 16 if s[:2] in ("0x", "0X") else 10
         if radix == 16 and s[:2] in ("0x", "0X"):
             s = s[2:]
         digits = "0123456789abcdefghijklmnopqrstuvwxyz"[:radix]
@@ -923,8 +990,13 @@ def make_globals(engine) -> dict:
     def _parse_float(this, args):
         s = js_to_string(_arg(args, 0, "")).strip()
         import re
-        m = re.match(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", s)
-        return float(m.group(0)) if m else float("nan")
+        m = re.match(r"[+-]?(Infinity|\d+\.?\d*([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?)", s)
+        if not m:
+            return float("nan")
+        t = m.group(0)
+        if t.endswith("Infinity"):
+            return float("-inf") if t[0] == "-" else float("inf")
+        return float(t)
     g["parseFloat"] = NativeFunction("parseFloat", _parse_float)
     num.props["parseFloat"] = g["parseFloat"]
     num.props["parseInt"] = g["parseInt"]
@@ -948,8 +1020,39 @@ def make_globals(engine) -> dict:
     g["Promise"] = pr
 
     def _json_stringify(this, args):
-        return _to_json(_arg(args, 0))
-    g["JSON"] = JSObject({"stringify": NativeFunction("stringify", _json_stringify)})
+        v = _arg(args, 0)
+        # spec: stringify(undefined) and stringify(function) return
+        # undefined, not the string "null"
+        if v is UNDEF or js_typeof(v) == "function":
+            return UNDEF
+        return _to_json(v)
+
+    def _json_parse(this, args):
+        import json as _json
+        try:
+            data = _json.loads(js_to_string(_arg(args, 0, "")))
+        except ValueError as e:
+            raise JSThrow(JSObject({"name": "SyntaxError",
+                                    "message": f"JSON.parse: {e}"}))
+
+        def conv(x):
+            if isinstance(x, bool):
+                return x
+            if isinstance(x, (int, float)):
+                return float(x)
+            if x is None:
+                return NULL
+            if isinstance(x, str):
+                return x
+            if isinstance(x, list):
+                return JSArray([conv(i) for i in x])
+            return JSObject({k: conv(v) for k, v in x.items()})
+        return conv(data)
+
+    g["JSON"] = JSObject({
+        "stringify": NativeFunction("stringify", _json_stringify),
+        "parse": NativeFunction("parse", _json_parse),
+    })
 
     # the UMD factory probes these
     globalthis = JSObject()
@@ -964,7 +1067,8 @@ def _to_json(v) -> str:
     if isinstance(v, (bool,)):
         return "true" if v else "false"
     if isinstance(v, float):
-        return num_to_str(v)
+        # spec: non-finite numbers serialize as null; -0 as 0
+        return num_to_str(v) if v == v and abs(v) != float("inf") else "null"
     if isinstance(v, str):
         return _json.dumps(v)
     if v is NULL or v is UNDEF:
@@ -975,7 +1079,7 @@ def _to_json(v) -> str:
         return "{" + ",".join(f'"{i}":{num_to_str(float(x))}'
                               for i, x in enumerate(v.arr)) + "}"
     if isinstance(v, JSObject):
-        return "{" + ",".join(f"{_json.dumps(k)}:{_to_json(x)}"
-                              for k, x in v.props.items()
-                              if x is not UNDEF) + "}"
+        return "{" + ",".join(f"{_json.dumps(k)}:{_to_json(v.props[k])}"
+                              for k in _ordered_keys(v.props)
+                              if v.props[k] is not UNDEF) + "}"
     return "null"

@@ -136,6 +136,38 @@ _TA_KINDS = {
 _BIG_KINDS = ("BigInt64Array", "BigUint64Array")
 
 
+def _element_convert(vals, dt) -> np.ndarray:
+    """Spec ToIntN/ToUintN element conversion: truncate toward zero, then
+    wrap modulo 2**bits (Int8Array([200])[0] is -56, not an OverflowError);
+    NaN/Infinity store as 0. Float kinds take IEEE store-rounding directly.
+    Exact for |value| < 2**53 — the spec range where wrapping is observable."""
+    dt = np.dtype(dt)
+    if dt.itemsize == 8 and dt.kind in "iu":
+        # BigInt64/BigUint64: exact integer path (float64 would round above
+        # 2**53); ToBigInt64 wraps modulo 2**64
+        out = np.zeros(len(vals), dt)
+        for i, v in enumerate(vals):
+            n = int(v) & 0xFFFFFFFFFFFFFFFF
+            if dt.kind == "i" and n >= 1 << 63:
+                n -= 1 << 64
+            out[i] = n
+        return out
+    f = np.array([js_to_number(v) if not isinstance(v, (int, float)) or
+                  isinstance(v, bool) else float(v) for v in vals]
+                 if not isinstance(vals, np.ndarray) else vals, np.float64)
+    if dt.kind == "f":
+        return f.astype(dt)
+    bits = 8 * dt.itemsize
+    out = np.zeros(f.shape, np.float64)
+    finite = np.isfinite(f)
+    t = np.mod(np.trunc(f[finite]), 2.0 ** bits)  # [0, 2**bits)
+    t = np.where(t < 0, t + 2.0 ** bits, t)
+    if dt.kind == "i":
+        t = np.where(t >= 2.0 ** (bits - 1), t - 2.0 ** bits, t)
+    out[finite] = t
+    return out.astype(dt)
+
+
 class JSTypedArray:
     """numpy-backed typed array. subarray() returns a VIEW (JS semantics);
     slice() copies. Element reads return float (or int for BigInt64Array)."""
@@ -154,13 +186,13 @@ class JSTypedArray:
         if isinstance(arg, (int, float)) and not isinstance(arg, bool):
             return cls(kind, np.zeros(int(arg), dt))
         if isinstance(arg, JSTypedArray):
-            return cls(kind, arg.arr.astype(dt))
+            return cls(kind, _element_convert(arg.arr, dt))
         if isinstance(arg, JSArray):
-            return cls(kind, np.array(arg.items, dt))
+            return cls(kind, _element_convert(arg.items, dt))
         if isinstance(arg, np.ndarray):
             return cls(kind, np.ascontiguousarray(arg, dt).reshape(-1))
         if isinstance(arg, (list, tuple)):
-            return cls(kind, np.array(arg, dt))
+            return cls(kind, _element_convert(arg, dt))
         raise MiniJsError(f"cannot construct {kind} from {type(arg).__name__}")
 
     @property
@@ -182,7 +214,10 @@ class JSTypedArray:
         else:
             if isinstance(v, int) and not isinstance(v, bool):
                 raise JSThrow(_type_error("cannot convert BigInt to number element"))
-            self.arr[i] = v  # numpy performs the dtype store-rounding
+            if self.arr.dtype.kind in "iu":
+                self.arr[i] = _element_convert([v], self.arr.dtype)[0]
+            else:
+                self.arr[i] = v  # numpy performs the dtype store-rounding
 
     def tolist(self) -> list:
         if self.big:
@@ -302,17 +337,45 @@ def js_typeof(v) -> str:
 
 
 def num_to_str(v: float) -> str:
+    """ECMA-262 Number::toString(10): shortest round-trip digits, decimal
+    notation for exponents in (-7, 21], exponential outside — NOT Python's
+    repr, which switches to 1e-05 where JS prints 0.00001 (a divergence the
+    conformance corpus caught, tests/data/es_conformance.json)."""
     if v != v:
         return "NaN"
     if v == float("inf"):
         return "Infinity"
     if v == float("-inf"):
         return "-Infinity"
-    if v == int(v) and abs(v) < 1e21:
-        return str(int(v))
-    r = repr(v)
-    # JS prints shortest roundtrip, close enough to Python's repr for our use
-    return r
+    if v == 0.0:
+        return "0"
+    sign = "-" if v < 0 else ""
+    # shortest round-trip digits via repr, normalized to (digits, n) with
+    # value = 0.digits * 10**n
+    r = repr(abs(v))
+    if "e" in r or "E" in r:
+        mant, _, exp = r.lower().partition("e")
+        e10 = int(exp)
+    else:
+        mant, e10 = r, 0
+    if "." in mant:
+        ip, _, fp = mant.partition(".")
+    else:
+        ip, fp = mant, ""
+    digits = (ip + fp).lstrip("0")
+    n = e10 + len(ip) - (len(ip + fp) - len((ip + fp).lstrip("0")))
+    digits = digits.rstrip("0") or "0"
+    k = len(digits)
+    if k <= n <= 21:
+        return sign + digits + "0" * (n - k)
+    if 0 < n <= 21:
+        return sign + digits[:n] + "." + digits[n:]
+    if -6 < n <= 0:
+        return sign + "0." + "0" * (-n) + digits
+    # exponential: d.ddd e+/- (n-1)
+    e = n - 1
+    head = digits[0] + ("." + digits[1:] if k > 1 else "")
+    return f"{sign}{head}e{'+' if e >= 0 else '-'}{abs(e)}"
 
 
 def js_to_string(v) -> str:
@@ -361,10 +424,18 @@ def js_to_number(v) -> float:
         s = v.strip()
         if s == "":
             return 0.0
+        # spec StringNumericLiteral: 0x/0o/0b radix forms, 'Infinity' (exact
+        # spelling), or a decimal literal. Python's float() must NOT be fed
+        # raw: it accepts 'inf'/'nan'/'1_000', which JS rejects as NaN.
         try:
-            if s.startswith(("0x", "0X")):
-                return float(int(s, 16))
-            return float(s)
+            if s[:2].lower() in ("0x", "0o", "0b") and len(s) > 2:
+                return float(int(s[2:], {"x": 16, "o": 8, "b": 2}[s[1].lower()]))
+            body = s[1:] if s[0] in "+-" else s
+            if body == "Infinity":
+                return float("-inf") if s[0] == "-" else float("inf")
+            if body and "_" not in body and (body[0].isdigit() or body[0] == "."):
+                return float(s)
+            return float("nan")
         except ValueError:
             return float("nan")
     if isinstance(v, JSArray):

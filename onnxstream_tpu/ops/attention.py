@@ -168,6 +168,13 @@ def _sdpa(ctx: Ctx, op, ins):
     causal = bool(op.attr_int("causal", 0))
     heads = op.attr_int("heads", 0)
 
+    # sweepable kernel tile sizes (0 = kernel defaults; tools/ab_sdxl.py)
+    blocks = {}
+    if getattr(ctx.config, "flash_block_m", 0):
+        blocks["block_m"] = ctx.config.flash_block_m
+    if getattr(ctx.config, "flash_block_n", 0):
+        blocks["block_n"] = ctx.config.flash_block_n
+
     if heads:
         # packed projections (fusion absorbed the head split/merge)
         if scale is None:
@@ -179,6 +186,7 @@ def _sdpa(ctx: Ctx, op, ins):
                 return [flash_attention_packed(
                     q, k, v, heads, scale=scale, causal=causal,
                     nopad=bool(getattr(ctx.config, "flash_packed_nopad", False)),
+                    **blocks,
                 )]
             except NotImplementedError:
                 pass
@@ -190,7 +198,8 @@ def _sdpa(ctx: Ctx, op, ins):
         try:
             return [
                 flash_attention(
-                    q, k, v, mask=mask, scale=scale, k_transposed=k_transposed, causal=causal
+                    q, k, v, mask=mask, scale=scale, k_transposed=k_transposed,
+                    causal=causal, **blocks,
                 )
             ]
         except NotImplementedError:

@@ -107,6 +107,12 @@ class SessionConfig:
     # Q/K/V). Default set by the measured UNet-step A/B
     # (tools/ab_unet.py --nopad-packed, docs/tpu_notes.md).
     flash_packed_nopad: bool = False
+    # flash-attention kernel tile sizes, 0 = kernel defaults (512, 1024).
+    # Sweepable per model family (tools/ab_sdxl.py): tile shape matters most
+    # on the SDXL step's 4096-token d=64 self-attention, where the score
+    # matrix is largest relative to VMEM.
+    flash_block_m: int = 0
+    flash_block_n: int = 0
     # test-only: run Pallas kernel dispatches in interpret mode so the
     # session-level routing is exercisable on the CPU test backend
     pallas_interpret: bool = False
