@@ -10,7 +10,10 @@ parses the LAST parseable line); `{"metric", "value", "unit",
   * link_mbps        — this hour's measured host->device link rate (the
                        tunneled chip swings 0.1-60 MB/s hour to hour), so
                        every record self-explains its conditions
-  * tinyllama / streamed / whisper / batch — enrichment children (below)
+  * tinyllama / streamed / yolo / whisper / batch — enrichment children
+                       (the yolo child runs the REAL reference-checkout
+                       fp32 weights — the one real-checkpoint number this
+                       environment can produce)
 
 EMISSION IS UNCONDITIONAL. Rounds 2 and 4 were lost to rc=124 with zero
 output: the first forced device execution can block indefinitely inside a
@@ -623,7 +626,7 @@ def main() -> None:
     # and the streamed child self-skips if the link can't carry its minimum
     # 2-segment prefix.
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
-    from measure import llm_bench_result, whisper_bench_result
+    from measure import llm_bench_result, whisper_bench_result, yolo_bench_result
 
     fast_link = link_mbps is not None and link_mbps >= 8.0
 
@@ -649,6 +652,16 @@ def main() -> None:
             _STATE["children"]["whisper"] = {"skipped": "budget"}
         _mark("whisper child done")
 
+    def child_yolo():
+        # the one REAL-checkpoint number available: the reference checkout's
+        # actual YOLOv8n fp32 weights (~12 MB upload, cheap even on slow
+        # hours; self-skips if the checkout is absent)
+        if _remaining() > 50:
+            _STATE["children"]["yolo"] = _inproc(yolo_bench_result)
+        else:
+            _STATE["children"]["yolo"] = {"skipped": "budget"}
+        _mark("yolo child done")
+
     def child_batch():
         if _remaining() > 100:
             _STATE["children"]["batch"] = _inproc(_batch_measure, 4)
@@ -657,9 +670,9 @@ def main() -> None:
         _mark("batch child done")
 
     if fast_link:
-        order = [child_streamed, child_llm, child_whisper, child_batch]
+        order = [child_streamed, child_llm, child_yolo, child_whisper, child_batch]
     else:
-        order = [child_llm, child_streamed, child_whisper, child_batch]
+        order = [child_llm, child_streamed, child_yolo, child_whisper, child_batch]
     for child in order:
         child()
 

@@ -261,20 +261,20 @@ def measure_whisper() -> None:
 YOLO_DIR = "/root/reference/examples/YOLOv8n_wasm/yolov8n_fp32/"
 
 
-def measure_yolo() -> None:
+def yolo_bench_result() -> dict:
     """YOLOv8n 640x640 with the REAL model.txt + fp32 weights shipped in the
     reference checkout — the one measurement that needs no synthetic
-    weights. Chained device-resident forwards (the 2 MB output readback per
-    frame is the app's real cost and is included via the final forcing
-    readback, amortized)."""
+    weights (bench.py child: the only REAL-checkpoint number the
+    environment can produce). Chained device-resident forwards (the 2 MB
+    output readback per frame is the app's real cost and is included via
+    the final forcing readback, amortized)."""
     import jax
 
     from onnxstream_tpu.runtime.config import SessionConfig
     from onnxstream_tpu.runtime.session import Session
 
     if not os.path.exists(YOLO_DIR + "model.txt"):
-        _emit(metric="yolov8n_640", skipped="reference model dir not present")
-        return
+        return dict(metric="yolov8n_640", skipped="reference model dir not present")
     s = Session(config=SessionConfig(compute_dtype="float32"),
                 weights_provider_name="ram+prefetch")
     s.read_string(open(YOLO_DIR + "model.txt").read(), weights_dir=YOLO_DIR)
@@ -294,7 +294,7 @@ def measure_yolo() -> None:
         out = cf(weights, acts)
     np.asarray(out["output0"])
     frame_ms = (time.time() - t0) / m * 1e3
-    _emit(
+    return dict(
         metric="yolov8n_640",
         frame_ms=round(frame_ms, 2),
         fps=round(1e3 / frame_ms, 1),
@@ -303,6 +303,10 @@ def measure_yolo() -> None:
         scores_max=round(float(probe[0, 4:].max()), 3),
         weights="REAL (reference checkout fp32)",
     )
+
+
+def measure_yolo() -> None:
+    _emit(**yolo_bench_result())
 
 
 def llm_bench_result(fast: bool = True) -> dict:
