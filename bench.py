@@ -10,7 +10,7 @@ parses the LAST parseable line); `{"metric", "value", "unit",
   * link_mbps        — this hour's measured host->device link rate (the
                        tunneled chip swings 0.1-60 MB/s hour to hour), so
                        every record self-explains its conditions
-  * tinyllama / streamed / yolo / whisper / batch — enrichment children
+  * tinyllama / streamed / yolo / whisper / sdxl / batch — enrichment children
                        (the yolo child runs the REAL reference-checkout
                        fp32 weights — the one real-checkpoint number this
                        environment can produce)
@@ -626,7 +626,8 @@ def main() -> None:
     # and the streamed child self-skips if the link can't carry its minimum
     # 2-segment prefix.
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
-    from measure import llm_bench_result, whisper_bench_result, yolo_bench_result
+    from measure import (llm_bench_result, sdxl_bench_result,
+                         whisper_bench_result, yolo_bench_result)
 
     fast_link = link_mbps is not None and link_mbps >= 8.0
 
@@ -662,6 +663,16 @@ def main() -> None:
             _STATE["children"]["yolo"] = {"skipped": "budget"}
         _mark("yolo child done")
 
+    def child_sdxl():
+        # the reference's flagship capability claim (SDXL on a Pi Zero 2):
+        # the same step here is one jitted program with flash attention at
+        # 16k/4k-token sequences; ~50-100 s warm (device-synth weights)
+        if _remaining() > 120:
+            _STATE["children"]["sdxl"] = _inproc(sdxl_bench_result)
+        else:
+            _STATE["children"]["sdxl"] = {"skipped": "budget"}
+        _mark("sdxl child done")
+
     def child_batch():
         if _remaining() > 100:
             _STATE["children"]["batch"] = _inproc(_batch_measure, 4)
@@ -670,9 +681,11 @@ def main() -> None:
         _mark("batch child done")
 
     if fast_link:
-        order = [child_streamed, child_llm, child_yolo, child_whisper, child_batch]
+        order = [child_streamed, child_llm, child_yolo, child_whisper,
+                 child_sdxl, child_batch]
     else:
-        order = [child_llm, child_streamed, child_yolo, child_whisper, child_batch]
+        order = [child_llm, child_streamed, child_yolo, child_whisper,
+                 child_sdxl, child_batch]
     for child in order:
         child()
 

@@ -258,6 +258,74 @@ def measure_whisper() -> None:
     _emit(**whisper_bench_result())
 
 
+def sdxl_bench_result(n_iter: int = 20) -> dict:
+    """SDXL UNet step (128x128 latents: 16k/4k/1k-token self-attention) —
+    the reference's flagship capability claim is SDXL on a Raspberry Pi
+    Zero 2 via attention slicing (/root/reference/README.md:151-159,
+    src/onnxstream.cpp:6696-6928); here the same step is one jitted program
+    with the Pallas flash kernel at those sequence lengths. Methodology =
+    bench.py headline: device-synthesized weights, warmup forced by a
+    readback, n chained device-resident steps ended by one forcing
+    readback. Returns the result dict (bench.py child)."""
+    import jax
+
+    from onnxstream_tpu.models.sd.unet import build_unet, SDXL, TINY_XL
+    from onnxstream_tpu.runtime.config import SessionConfig
+    from onnxstream_tpu.runtime.session import Session
+    from onnxstream_tpu.runtime.weights import DictWeightsProvider
+
+    cfg = TINY_XL if TINY else SDXL
+    g = build_unet(cfg, batch=1, lazy_weights=True)
+    s = Session(config=SessionConfig(compute_dtype="bfloat16",
+                                     fuse_ops_in_attention=True,
+                                     use_flash_attention=True),
+                weights_provider=DictWeightsProvider(g.weights))
+    s.read_string(g.to_text())
+    rng = np.random.RandomState(0)
+    inputs = {
+        "sample": rng.rand(1, cfg.in_channels, cfg.sample_size,
+                           cfg.sample_size).astype(np.float32),
+        "timestep": np.array([500.0], np.float32),
+        "encoder_hidden_states": rng.rand(
+            1, cfg.context_len, cfg.cross_attention_dim).astype(np.float32),
+        "text_5F_embeds": rng.rand(1, cfg.pooled_dim).astype(np.float32),
+        "time_5F_ids": np.array([[1024.0, 1024.0, 0.0, 0.0, 1024.0, 1024.0]],
+                                np.float32),
+    }
+    for k, v in inputs.items():
+        s.add_tensor(k, v)
+    ex = s._executor()
+    seg = ex.segments[0]
+    out_name = "out_sample" if "out_sample" in seg.out_names else seg.out_names[0]
+    weights = ex.synthesize_segment_weights(
+        seg, min_bytes=(1 << 10) if TINY else (1 << 20))
+    acts = {k: jax.device_put(np.asarray(v, np.float32)) for k, v in inputs.items()}
+    cf = ex._compiled(0)
+    r = cf(weights, acts)
+    a = dict(acts)
+    a["sample"] = r[out_name]  # feedback signature (sample in compute dtype)
+    r = cf(weights, a)
+    np.asarray(r[out_name])  # warm + force
+    t0 = time.time()
+    for _ in range(n_iter):
+        r = cf(weights, a)
+        a["sample"] = r[out_name]
+    np.asarray(r[out_name])
+    step_ms = (time.time() - t0) / n_iter * 1e3
+    s.close()
+    return dict(
+        metric="sdxl_unet_step_ms",
+        step_ms=round(step_ms, 2),
+        per_image_10step_s=round(step_ms * 10 / 1e3, 2),
+        graph_ops=len(s.graph.ops),
+        weights="synthetic-device",
+    )
+
+
+def measure_sdxl_step() -> None:
+    _emit(**sdxl_bench_result())
+
+
 YOLO_DIR = "/root/reference/examples/YOLOv8n_wasm/yolov8n_fp32/"
 
 
@@ -355,6 +423,8 @@ def main() -> None:
         measure_sd15()
     if "sdxl" in sel:
         measure_sdxl()
+    if "sdxl-step" in sel:
+        measure_sdxl_step()
     if "whisper" in sel:
         measure_whisper()
     if "yolo" in sel:
