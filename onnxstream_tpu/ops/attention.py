@@ -159,6 +159,25 @@ def _use_flash_packed(config, heads, q, k) -> bool:
     return kv_len >= 512 and score_bytes >= (8 << 20)
 
 
+def _flash_blocks(config, m: int) -> dict:
+    """Flash kernel tile sizes: config pins win; otherwise a shape default.
+
+    At >=2048-token q sequences the q tile rises 512→1024: each grid row
+    re-reads the full K/V once, so a taller tile halves K/V HBM re-reads —
+    the one flash lever that measured GREEN on the SDXL/SD1.5 4096-token
+    steps (docs/tpu_notes.md round-5 sweep: 64.5→63.0 ms SDXL, replicated
+    same-hour; block_n above the 1024 default only clamps back under the
+    kernel's VMEM budget, and smaller tiles of either kind lose)."""
+    blocks = {}
+    if getattr(config, "flash_block_m", 0):
+        blocks["block_m"] = config.flash_block_m
+    elif m >= 2048:
+        blocks["block_m"] = 1024
+    if getattr(config, "flash_block_n", 0):
+        blocks["block_n"] = config.flash_block_n
+    return blocks
+
+
 @register("ostpu.sdpa")
 def _sdpa(ctx: Ctx, op, ins):
     q, k, v = ins[0], ins[1], ins[2]
@@ -168,12 +187,8 @@ def _sdpa(ctx: Ctx, op, ins):
     causal = bool(op.attr_int("causal", 0))
     heads = op.attr_int("heads", 0)
 
-    # sweepable kernel tile sizes (0 = kernel defaults; tools/ab_sdxl.py)
-    blocks = {}
-    if getattr(ctx.config, "flash_block_m", 0):
-        blocks["block_m"] = ctx.config.flash_block_m
-    if getattr(ctx.config, "flash_block_n", 0):
-        blocks["block_n"] = ctx.config.flash_block_n
+    # sweepable kernel tile sizes (0 = shape defaults; tools/ab_sdxl.py)
+    blocks = _flash_blocks(ctx.config, q.shape[-2])
 
     if heads:
         # packed projections (fusion absorbed the head split/merge)

@@ -178,3 +178,18 @@ def test_flash_kernel_packed_nopad_vs_oracle_tpu(case):
         causal=causal, block_m=64, block_n=128, nopad=True,
     )
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_flash_block_shape_defaults():
+    """Tile defaults: config pins win; unpinned long-q sequences (>=2048)
+    raise block_m 512->1024 (the measured round-5 lever, docs/tpu_notes.md);
+    short sequences keep the kernel defaults."""
+    from onnxstream_tpu.ops.attention import _flash_blocks
+    from onnxstream_tpu.runtime.config import SessionConfig
+
+    cfg = SessionConfig()
+    assert _flash_blocks(cfg, 1024) == {}
+    assert _flash_blocks(cfg, 2048) == {"block_m": 1024}
+    assert _flash_blocks(cfg, 4096) == {"block_m": 1024}
+    pinned = SessionConfig(flash_block_m=256, flash_block_n=512)
+    assert _flash_blocks(pinned, 4096) == {"block_m": 256, "block_n": 512}
