@@ -110,6 +110,10 @@ def _maybe_fault(stage: str) -> None:
         libc = ctypes.CDLL(None, use_errno=True)
         while True:
             libc.poll(None, 0, 3_600_000)
+    if os.environ.get("OSTPU_FAULT_RAISE", "") == stage:
+        # the RAISE failure shape: PJRT init refused / transfer error — the
+        # headline try/except must degrade to an error record, rc=0
+        raise RuntimeError(f"fault injected: raise at stage '{stage}'")
 
 
 def _mark(stage: str) -> None:
@@ -502,74 +506,103 @@ def main() -> None:
     if os.environ.get("OSTPU_BENCH_NO_WATCHDOG", "") != "1":
         _arm_watchdog(t_start + total_budget_s - margin_s)
 
-    import jax
+    # Headline, exception-guarded: the watchdog covers the STALL failure
+    # shape (blocked native call), this try covers the RAISE shape (PJRT
+    # init refused, device_put error on a dead tunnel hour). Either way the
+    # process must end rc=0 with a parsed JSON line — a raising headline
+    # degrades to an error record and the children still get their chance
+    # (each independently guarded by _inproc).
+    try:
+        import jax
 
-    # Honor JAX_PLATFORMS even though this environment's sitecustomize imports
-    # jax and registers the axon plugin before bench.py runs (env var alone is
-    # too late — same pattern as tests/conftest.py; backend not yet
-    # initialized here, so the config update still wins). The emission CI test
-    # runs bench.py with JAX_PLATFORMS=cpu and must NOT land on the real chip.
-    plat = os.environ.get("JAX_PLATFORMS", "")
-    if plat:
-        jax.config.update("jax_platforms", plat)
+        # Honor JAX_PLATFORMS even though this environment's sitecustomize
+        # imports jax and registers the axon plugin before bench.py runs (env
+        # var alone is too late — same pattern as tests/conftest.py; backend
+        # not yet initialized here, so the config update still wins). The
+        # emission CI test runs bench.py with JAX_PLATFORMS=cpu and must NOT
+        # land on the real chip.
+        plat = os.environ.get("JAX_PLATFORMS", "")
+        if plat:
+            jax.config.update("jax_platforms", plat)
 
-    _mark(f"jax imported ({jax.default_backend()})")
-    _probe_link()
+        _mark(f"jax imported ({jax.default_backend()})")
+        _probe_link()
+
+        g, s, inputs = _build_session()
+        _mark("session built")
+        from onnxstream_tpu.models.sd.unet import param_count
+
+        # warmup: dispatch, then FORCE with a readback so one-time costs
+        # (program load, deferred weight upload) land here, not in the timed
+        # region. The bench model's weights are synthetic (BASELINE.md/README
+        # label), so the big float tensors are generated ON DEVICE: dense
+        # bf16 step time is value-independent and the tunneled host link
+        # (~3-50 MB/s WAN) turns a 1.7 GB upload into 1-10 min of setup —
+        # round 2's rc=124 was exactly that. OSTPU_BENCH_UPLOAD=1 restores
+        # the full host-upload path. Warmup forced by a readback; then
+        # chained device-resident steps (out_sample feeds the next step's
+        # sample, like a real diffusion loop).
+        dt_ms, out_probe = _time_unet_session(s, inputs, n_iter=10 if _TINY else 100)
+        setup_s = time.time() - t_start
+        _mark("warmup+steady done")
+
+        # peak HBM (XLA buffer-assignment accounting; allocator memory_stats
+        # is unavailable over the tunnel). Pure compiler introspection, no
+        # transfers.
+        stats = s.hbm_stats()
+        peak_hbm_mb = round(stats.get("peak_bytes_in_use", 0) / (1 << 20), 1)
+
+        result = {
+            "metric": "sd15_unet_step_ms",
+            "value": round(dt_ms, 2),
+            "unit": "ms",
+            "vs_baseline": round(BASELINE_UNET_MS / dt_ms, 1),
+            "peak_hbm_mb": peak_hbm_mb,
+            "link_mbps": _STATE["link_mbps"],
+            # self-describing weights mode: synthetic-device (default; dense
+            # bf16 timing is value-independent) vs uploaded
+            # (OSTPU_BENCH_UPLOAD=1)
+            "weights": "uploaded" if os.environ.get("OSTPU_BENCH_UPLOAD", "") == "1"
+            else "synthetic-device",
+        }
+        if _TINY:
+            result["tiny"] = True
+        _STATE["result"] = result
+        # headline emission: from here on the driver has a real number even
+        # if every child below stalls (the watchdog re-prints it enriched).
+        print(json.dumps(result), flush=True)
+        print(
+            f"# setup {setup_s:.0f}s, params {param_count(g)/1e6:.0f}M, ops {len(g.ops)}, "
+            f"backend {jax.default_backend()}, out max|x|={float(np.abs(out_probe).max()):.3f}",
+            file=sys.stderr,
+            flush=True,
+        )
+        # release the resident UNet's HBM (1.7 GB of weights + programs)
+        # before the children run: drop every device reference and collect
+        s.close()
+        del s, g
+        import gc
+
+        gc.collect()
+    except Exception as e:
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        result = {
+            "metric": "sd15_unet_step_ms",
+            "value": None,
+            "unit": "ms",
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}"[:400],
+            "error_stage": _STATE["stage"],
+            "marks": _STATE["marks"][-10:],
+        }
+        if _STATE["link_mbps"] is not None:
+            result["link_mbps"] = _STATE["link_mbps"]
+        _STATE["result"] = result
+        print(json.dumps(result), flush=True)
+
     link_mbps = _STATE["link_mbps"]
-
-    g, s, inputs = _build_session()
-    _mark("session built")
-    from onnxstream_tpu.models.sd.unet import param_count
-
-    # warmup: dispatch, then FORCE with a readback so one-time costs (program
-    # load, deferred weight upload) land here, not in the timed region.
-    # The bench model's weights are synthetic (BASELINE.md/README label), so
-    # the big float tensors are generated ON DEVICE: dense bf16 step time is
-    # value-independent and the tunneled host link (~3-50 MB/s WAN) turns a
-    # 1.7 GB upload into 1-10 min of setup — round 2's rc=124 was exactly
-    # that. OSTPU_BENCH_UPLOAD=1 restores the full host-upload path.
-    # Warmup forced by a readback; then chained device-resident steps
-    # (out_sample feeds the next step's sample, like a real diffusion loop).
-    dt_ms, out_probe = _time_unet_session(s, inputs, n_iter=10 if _TINY else 100)
-    setup_s = time.time() - t_start
-    _mark("warmup+steady done")
-
-    # peak HBM (XLA buffer-assignment accounting; allocator memory_stats is
-    # unavailable over the tunnel). Pure compiler introspection, no transfers.
-    stats = s.hbm_stats()
-    peak_hbm_mb = round(stats.get("peak_bytes_in_use", 0) / (1 << 20), 1)
-
-    result = {
-        "metric": "sd15_unet_step_ms",
-        "value": round(dt_ms, 2),
-        "unit": "ms",
-        "vs_baseline": round(BASELINE_UNET_MS / dt_ms, 1),
-        "peak_hbm_mb": peak_hbm_mb,
-        "link_mbps": link_mbps,
-        # self-describing weights mode: synthetic-device (default; dense bf16
-        # timing is value-independent) vs uploaded (OSTPU_BENCH_UPLOAD=1)
-        "weights": "uploaded" if os.environ.get("OSTPU_BENCH_UPLOAD", "") == "1"
-        else "synthetic-device",
-    }
-    if _TINY:
-        result["tiny"] = True
-    _STATE["result"] = result
-    # headline emission: from here on the driver has a real number even if
-    # every child below stalls (the watchdog re-prints it enriched).
-    print(json.dumps(result), flush=True)
-    print(
-        f"# setup {setup_s:.0f}s, params {param_count(g)/1e6:.0f}M, ops {len(g.ops)}, "
-        f"backend {jax.default_backend()}, out max|x|={float(np.abs(out_probe).max()):.3f}",
-        file=sys.stderr,
-        flush=True,
-    )
-    # release the resident UNet's HBM (1.7 GB of weights + programs) before
-    # the children run: drop every device reference and collect
-    s.close()
-    del s, g
-    import gc
-
-    gc.collect()
 
     if _TINY:
         # tiny mode exists for the emission CI test: the children measure

@@ -65,6 +65,31 @@ def test_injected_native_stall_still_yields_rc0_and_json():
     assert dt < budget + 60, f"bench lived {dt:.0f}s past its {budget:.0f}s budget"
 
 
+def test_injected_raise_still_yields_rc0_and_error_record():
+    """Fault injection of the RAISE failure shape (PJRT init refused /
+    transfer error instead of a block): the headline try/except must degrade
+    to an error record — rc=0, value honest-null, the raising stage named —
+    rather than rc=1 with only the provisional line. Children then run and
+    are expected to finish (CPU backend is healthy here); the final line must
+    still be the enriched record carrying the headline's error."""
+    r, parsed, _ = _run_bench(
+        {
+            "OSTPU_FAULT_RAISE": "session built",
+            "OSTPU_BENCH_TOTAL_S": "120",
+            "OSTPU_BENCH_WATCHDOG_MARGIN_S": "5",
+        },
+        timeout=300,
+    )
+    assert r.returncode == 0, f"rc={r.returncode}, stderr tail: {r.stderr[-800:]}"
+    assert parsed, f"no JSON line; stdout={r.stdout!r}"
+    last = parsed[-1]
+    assert last["metric"] == "sd15_unet_step_ms"
+    assert last["value"] is None
+    assert "fault injected" in last.get("error", ""), last
+    assert last.get("error_stage") == "session built", last
+    assert "link_mbps" in last, last
+
+
 def test_clean_tiny_run_emits_headline():
     """No fault: the tiny headline must complete with a real value, the link
     probe must be recorded, and children must be explicitly skipped (tiny
