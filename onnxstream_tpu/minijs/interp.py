@@ -410,15 +410,34 @@ class Interp:
                 return self.eval(e[1], scope, this)
             except _OptShortCircuit:
                 return UNDEF
-        if kind in ("optmember", "optindex", "optcall"):
+        if kind in ("optmember", "optindex"):
             obj = self.eval(e[1], scope, this)
             if obj is UNDEF or obj is NULL:
                 raise _OptShortCircuit()
             if kind == "optmember":
                 return runtime.get_prop(self, obj, e[2])
-            if kind == "optindex":
-                return runtime.get_index(self, obj, self.eval(e[2], scope, this))
-            return self.call(obj, UNDEF, self.eval_args(e[2], scope, this))
+            return runtime.get_index(self, obj, self.eval(e[2], scope, this))
+        if kind == "optcall":
+            # f?.(...) — the nullish check applies to the FUNCTION value;
+            # when the callee is a property access, its base object is the
+            # `this` binding, same as the non-optional call path below
+            callee = e[1]
+            this_obj = UNDEF
+            if callee[0] in ("member", "optmember", "index", "optindex"):
+                this_obj = self.eval(callee[1], scope, this)
+                if callee[0] in ("optmember", "optindex") and (
+                        this_obj is UNDEF or this_obj is NULL):
+                    raise _OptShortCircuit()
+                if callee[0] in ("member", "optmember"):
+                    fn = runtime.get_prop(self, this_obj, callee[2])
+                else:
+                    fn = runtime.get_index(
+                        self, this_obj, self.eval(callee[2], scope, this))
+            else:
+                fn = self.eval(callee, scope, this)
+            if fn is UNDEF or fn is NULL:
+                raise _OptShortCircuit()
+            return self.call(fn, this_obj, self.eval_args(e[2], scope, this))
         if kind == "call":
             callee = e[1]
             if callee[0] in ("optmember", "optindex"):
@@ -712,7 +731,10 @@ class Interp:
                 if key == "length":
                     return True
                 n = js_to_number(l)
-                return n == n and n == int(n) and 0 <= n < len(r.items)
+                # finiteness first: int(inf) raises in Python
+                if n != n or n in (float("inf"), float("-inf")):
+                    return False
+                return n == int(n) and 0 <= n < len(r.items)
             return False
         raise MiniJsError(f"unsupported operator {op}")
 

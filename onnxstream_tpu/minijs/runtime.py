@@ -42,10 +42,19 @@ def _arg(args: List[Any], i: int, d=UNDEF):
 
 
 def _int_arg(args, i, d):
+    # spec ToIntegerOrInfinity: NaN -> 0, +-Infinity clamps (2**53 is past
+    # any reachable length, so clamped values behave identically downstream)
     v = _arg(args, i, UNDEF)
     if v is UNDEF:
         return d
-    return int(js_to_number(v))
+    n = js_to_number(v)
+    if n != n:
+        return 0
+    if n == float("inf"):
+        return 1 << 53
+    if n == float("-inf"):
+        return -(1 << 53)
+    return int(n)
 
 
 # ------------------------------------------------------------- iteration
@@ -274,9 +283,14 @@ def _array_prop(interp, arr: JSArray, name: str):
 
 def _pad(s: str, args, left: bool) -> str:
     n = _int_arg(args, 0, 0)
-    fill = js_to_string(_arg(args, 1, " ")) or ""
+    fill_v = _arg(args, 1, UNDEF)
+    # an explicitly-passed undefined fill means ' ' (spec StringPad step 4)
+    fill = " " if fill_v is UNDEF else js_to_string(fill_v)
     if n <= len(s) or not fill:
         return s
+    if n > (1 << 30):
+        raise JSThrow(JSObject({"name": "RangeError",
+                                "message": "Invalid string length"}))
     pad = (fill * ((n - len(s)) // len(fill) + 1))[: n - len(s)]
     return pad + s if left else s + pad
 
@@ -690,7 +704,10 @@ def _ordered_keys(props: dict) -> list:
     FIRST, then string keys in insertion order — Object.keys({b:1, 2:2,
     a:3, 1:4}) is ['1','2','b','a'], not insertion order."""
     def is_index(k: str) -> bool:
-        return k.isdigit() and (k == "0" or not k.startswith("0"))
+        # ASCII decimal only: '²'.isdigit() is True but int('²') raises,
+        # and the spec's array index grammar is ASCII anyway
+        return (k and all("0" <= c <= "9" for c in k)
+                and (k == "0" or not k.startswith("0")))
 
     ints = sorted((k for k in props if is_index(k)), key=int)
     return ints + [k for k in props if not is_index(k)]
@@ -1079,7 +1096,10 @@ def _to_json(v) -> str:
         return "{" + ",".join(f'"{i}":{num_to_str(float(x))}'
                               for i, x in enumerate(v.arr)) + "}"
     if isinstance(v, JSObject):
+        # spec: undefined- and function-valued properties are OMITTED from
+        # objects (in arrays, the fallthrough below serializes them as null)
         return "{" + ",".join(f"{_json.dumps(k)}:{_to_json(v.props[k])}"
                               for k in _ordered_keys(v.props)
-                              if v.props[k] is not UNDEF) + "}"
+                              if v.props[k] is not UNDEF
+                              and js_typeof(v.props[k]) != "function") + "}"
     return "null"
