@@ -51,27 +51,22 @@ def main() -> None:
 
     import jax
 
-    from onnxstream_tpu.models.sd.unet import build_unet, SDXL, TINY_XL
+    # honor JAX_PLATFORMS=cpu for --tiny smoke runs (sitecustomize registers
+    # the axon plugin before this script runs; same pattern as bench.py)
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
+    from measure import chained_unet_time, sdxl_graph_and_inputs
     from onnxstream_tpu.runtime.config import SessionConfig
     from onnxstream_tpu.runtime.session import Session
     from onnxstream_tpu.runtime.weights import DictWeightsProvider
 
-    ucfg = TINY_XL if tiny else SDXL
-    g = build_unet(ucfg, batch=1, lazy_weights=True)
+    # one graph + one input dict for the whole sweep (same objects as the
+    # bench child, so sweep winners transfer to the driver record verbatim)
+    _, g, inputs = sdxl_graph_and_inputs(tiny)
     text = g.to_text()
     synth_min_bytes = (1 << 10) if tiny else (1 << 20)
-
-    rng = np.random.RandomState(0)
-    inputs = {
-        "sample": rng.rand(1, ucfg.in_channels, ucfg.sample_size,
-                           ucfg.sample_size).astype(np.float32),
-        "timestep": np.array([500.0], np.float32),
-        "encoder_hidden_states": rng.rand(
-            1, ucfg.context_len, ucfg.cross_attention_dim).astype(np.float32),
-        "text_5F_embeds": rng.rand(1, ucfg.pooled_dim).astype(np.float32),
-        "time_5F_ids": np.array(
-            [[1024.0, 1024.0, 0.0, 0.0, 1024.0, 1024.0]], np.float32),
-    }
 
     ref_out = None
     for name in sel:
@@ -91,35 +86,16 @@ def main() -> None:
         s.read_string(text)
         for k, v in inputs.items():
             s.add_tensor(k, v)
-        ex = s._executor()
         _mark("session+plan")
-        seg = ex.segments[0]
-        out_name = "out_sample" if "out_sample" in seg.out_names else seg.out_names[0]
-        weights = ex.synthesize_segment_weights(seg, min_bytes=synth_min_bytes)
-        _mark("weights synthesized (dispatched)")
-        acts = {k: jax.device_put(np.asarray(v, np.float32)) for k, v in inputs.items()}
-        cf = ex._compiled(0)
-        _mark("compiled")
-        r = cf(weights, acts)
-        a = dict(acts)
-        a["sample"] = r[out_name]
-        r = cf(weights, a)
-        probe = np.asarray(r[out_name], np.float32)
-        setup_s = time.time() - t0
+        dt_ms, probe = chained_unet_time(
+            s, inputs, n_iter, synth_min_bytes, mark=_mark)
         if ref_out is None:
             ref_out = probe
-        t0 = time.time()
-        for _ in range(n_iter):
-            r = cf(weights, a)
-            a["sample"] = r[out_name]
-        np.asarray(r[out_name])
-        dt_ms = (time.time() - t0) / n_iter * 1e3
         print(
             json.dumps(
                 {
                     "variant": name,
                     "step_ms": round(dt_ms, 2),
-                    "setup_s": round(setup_s, 0),
                     "graph_ops": len(s.graph.ops),
                     "max_dev_vs_first": round(
                         float(np.abs(probe - ref_out).max()), 4),
@@ -128,7 +104,6 @@ def main() -> None:
             flush=True,
         )
         s.close()
-        del weights, acts, r, a, cf, ex, s
 
 
 if __name__ == "__main__":

@@ -258,29 +258,14 @@ def measure_whisper() -> None:
     _emit(**whisper_bench_result())
 
 
-def sdxl_bench_result(n_iter: int = 20) -> dict:
-    """SDXL UNet step (128x128 latents: 16k/4k/1k-token self-attention) —
-    the reference's flagship capability claim is SDXL on a Raspberry Pi
-    Zero 2 via attention slicing (/root/reference/README.md:151-159,
-    src/onnxstream.cpp:6696-6928); here the same step is one jitted program
-    with the Pallas flash kernel at those sequence lengths. Methodology =
-    bench.py headline: device-synthesized weights, warmup forced by a
-    readback, n chained device-resident steps ended by one forcing
-    readback. Returns the result dict (bench.py child)."""
-    import jax
-
+def sdxl_graph_and_inputs(tiny: bool):
+    """SDXL UNet graph (lazy weights) + the canonical seed-0 input dict —
+    shared by the bench child below and tools/ab_sdxl.py so the measured
+    object is byte-identical across the sweep and the driver record."""
     from onnxstream_tpu.models.sd.unet import build_unet, SDXL, TINY_XL
-    from onnxstream_tpu.runtime.config import SessionConfig
-    from onnxstream_tpu.runtime.session import Session
-    from onnxstream_tpu.runtime.weights import DictWeightsProvider
 
-    cfg = TINY_XL if TINY else SDXL
+    cfg = TINY_XL if tiny else SDXL
     g = build_unet(cfg, batch=1, lazy_weights=True)
-    s = Session(config=SessionConfig(compute_dtype="bfloat16",
-                                     fuse_ops_in_attention=True,
-                                     use_flash_attention=True),
-                weights_provider=DictWeightsProvider(g.weights))
-    s.read_string(g.to_text())
     rng = np.random.RandomState(0)
     inputs = {
         "sample": rng.rand(1, cfg.in_channels, cfg.sample_size,
@@ -292,26 +277,62 @@ def sdxl_bench_result(n_iter: int = 20) -> dict:
         "time_5F_ids": np.array([[1024.0, 1024.0, 0.0, 0.0, 1024.0, 1024.0]],
                                 np.float32),
     }
-    for k, v in inputs.items():
-        s.add_tensor(k, v)
+    return cfg, g, inputs
+
+
+def chained_unet_time(s, inputs, n_iter: int, synth_min_bytes: int,
+                      mark=lambda stage: None):
+    """The one chained-step UNet timing harness (bench.py headline
+    methodology, kept self-contained there so the headline never imports
+    tools/): device-synthesized weights, warmup forced by a readback, then
+    n device-resident steps with out_sample fed back as the next sample
+    (like a real diffusion loop), ended by one forcing readback.
+    Returns (step_ms, warm output probe as float32)."""
+    import jax
+
     ex = s._executor()
     seg = ex.segments[0]
     out_name = "out_sample" if "out_sample" in seg.out_names else seg.out_names[0]
-    weights = ex.synthesize_segment_weights(
-        seg, min_bytes=(1 << 10) if TINY else (1 << 20))
+    weights = ex.synthesize_segment_weights(seg, min_bytes=synth_min_bytes)
+    mark("weights synthesized (dispatched)")
     acts = {k: jax.device_put(np.asarray(v, np.float32)) for k, v in inputs.items()}
     cf = ex._compiled(0)
+    mark("compiled")
     r = cf(weights, acts)
+    feed = "sample" if "sample" in acts else next(iter(acts))
     a = dict(acts)
-    a["sample"] = r[out_name]  # feedback signature (sample in compute dtype)
-    r = cf(weights, a)
-    np.asarray(r[out_name])  # warm + force
+    a[feed] = r[out_name]
+    r = cf(weights, a)  # warm the feedback signature (sample in compute dtype)
+    probe = np.asarray(r[out_name], np.float32)  # warm + force
     t0 = time.time()
     for _ in range(n_iter):
         r = cf(weights, a)
-        a["sample"] = r[out_name]
+        a[feed] = r[out_name]
     np.asarray(r[out_name])
-    step_ms = (time.time() - t0) / n_iter * 1e3
+    return (time.time() - t0) / n_iter * 1e3, probe
+
+
+def sdxl_bench_result(n_iter: int = 20) -> dict:
+    """SDXL UNet step (128x128 latents: 16k/4k/1k-token self-attention) —
+    the reference's flagship capability claim is SDXL on a Raspberry Pi
+    Zero 2 via attention slicing (/root/reference/README.md:151-159,
+    src/onnxstream.cpp:6696-6928); here the same step is one jitted program
+    with the Pallas flash kernel at those sequence lengths. Returns the
+    result dict (bench.py child)."""
+    from onnxstream_tpu.runtime.config import SessionConfig
+    from onnxstream_tpu.runtime.session import Session
+    from onnxstream_tpu.runtime.weights import DictWeightsProvider
+
+    cfg, g, inputs = sdxl_graph_and_inputs(TINY)
+    s = Session(config=SessionConfig(compute_dtype="bfloat16",
+                                     fuse_ops_in_attention=True,
+                                     use_flash_attention=True),
+                weights_provider=DictWeightsProvider(g.weights))
+    s.read_string(g.to_text())
+    for k, v in inputs.items():
+        s.add_tensor(k, v)
+    step_ms, _ = chained_unet_time(
+        s, inputs, n_iter, (1 << 10) if TINY else (1 << 20))
     s.close()
     return dict(
         metric="sdxl_unet_step_ms",
