@@ -30,9 +30,20 @@ Therefore:
     whatever children completed, the stage marks, and the link rate) and
     `os._exit(0)`s — this works regardless of where the main thread is
     blocked;
-  * `OSTPU_FAULT_STALL=<stage>` injects a never-returning native block at
-    that stage mark; tests/test_bench_emission.py asserts rc=0 + parseable
-    output under the injected stall.
+  * a sacrificial SUBPROCESS link gate runs before any in-process device
+    work: subprocesses are killable where a native-blocked thread is not,
+    so a dead link is detected on a deadline instead of consuming the whole
+    budget — and since the link's state flips at sub-hour granularity
+    (observed alive -> dead within a minute), the gate RETRIES, catching a
+    mid-budget recovery that the old design forfeited;
+  * the headline region is also exception-guarded: a RAISING device call
+    (backend init refused, transfer error) degrades to an error record with
+    rc=0 rather than rc=1 with only the provisional line;
+  * `OSTPU_FAULT_STALL=<stage>` / `OSTPU_FAULT_RAISE=<stage>` inject a
+    never-returning native block / an exception at that stage mark, and
+    `OSTPU_BENCH_GATE_TEST_MODE=dead|dead-until:<path>` simulates dead and
+    recovering links; tests/test_bench_emission.py asserts rc=0 + parseable
+    output under all four injections.
 
 Measurement methodology (docs/tpu_notes.md): on the tunneled chip,
 ``block_until_ready`` returns at local staging — only a device->host
@@ -62,6 +73,7 @@ vs_baseline = reference_ms / our_ms (higher is better).
 import ctypes
 import json
 import os
+import subprocess
 import sys
 import threading
 import time
@@ -138,6 +150,12 @@ def _best_known() -> dict:
     out = dict(r)
     if _STATE["link_mbps"] is not None:
         out["link_mbps"] = _STATE["link_mbps"]
+    if _STATE.get("gate_probes", 1) > 1:
+        # >1 probes = the hour started dead and the gate retried; the record
+        # should say so even when the headline later succeeded
+        out["gate_probes"] = _STATE["gate_probes"]
+        if "gate_s" in _STATE:
+            out["gate_ok_at_s"] = _STATE["gate_s"]
     out.update(_STATE["children"])
     return out
 
@@ -168,6 +186,64 @@ def _arm_watchdog(deadline: float) -> threading.Thread:
     th = threading.Thread(target=_run, daemon=True, name="bench-watchdog")
     th.start()
     return th
+
+
+def _link_gate(total_budget_s: float, t_start: float) -> bool:
+    """Gate ALL device work behind a sacrificial SUBPROCESS transfer probe.
+
+    A dead tunnel hour blocks transfers inside native PJRT calls that no
+    signal can interrupt; once THIS process touches the device, a stall is
+    unrecoverable (the watchdog can only report it). A subprocess is
+    killable, so a dead link is detected on a deadline — and because the
+    link's state flips at sub-hour granularity (observed live at 08:58,
+    dead at 08:59 on 2026-08-20), retrying the gate can catch a mid-budget
+    recovery and still capture the headline on an hour that starts dead.
+
+    Cost on a live hour: one extra process handshake (~30 s typical). The
+    first attempt's deadline is generous (240 s — live-hour handshakes have
+    measured up to 167 s); retries are short. Returns True to proceed with
+    device work, False when the budget says give up (the caller emits a
+    self-explaining record and exits 0). Skipped on the CPU backend (CI)
+    unless OSTPU_BENCH_FORCE_GATE=1."""
+    probe_src = (
+        "import numpy as np, jax, time; t0=time.time(); "
+        "np.asarray(jax.device_put(np.zeros((1<<19,), np.float32))[:1]); "
+        "print(f'gate-ok {time.time()-t0:.1f}s', flush=True)"
+    )
+    cmd = [sys.executable, "-c", probe_src]
+    test_mode = os.environ.get("OSTPU_BENCH_GATE_TEST_MODE", "")
+    if test_mode == "dead":
+        cmd = [sys.executable, "-c", "import time; time.sleep(3600)"]
+    elif test_mode.startswith("dead-until:"):
+        # recovery simulation for CI: dead until the sentinel file appears
+        sentinel = test_mode.split(":", 1)[1]
+        cmd = [sys.executable, "-c",
+               f"import os, time\n"
+               f"if not os.path.exists({sentinel!r}): time.sleep(3600)\n"
+               f"print('gate-ok 0.0s', flush=True)"]
+    deadline_s = float(os.environ.get("OSTPU_BENCH_GATE_FIRST_S", "240"))
+    attempts = 0
+    while True:
+        attempts += 1
+        _STATE["gate_probes"] = attempts
+        _mark(f"link gate attempt {attempts} (deadline {deadline_s:.0f}s)")
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=deadline_s)
+            if r.returncode == 0 and "gate-ok" in r.stdout:
+                _STATE["gate_s"] = round(time.time() - t_start, 1)
+                _mark(f"link gate ok ({r.stdout.strip()})")
+                return True
+            _mark(f"link gate probe rc={r.returncode}")
+        except subprocess.TimeoutExpired:
+            _mark(f"link gate attempt {attempts} timed out")
+        # headline needs ~200 s after the gate (own handshake + warm-cache
+        # program + forced exec); below that, stop retrying and report
+        remaining = total_budget_s - (time.time() - t_start)
+        if remaining < float(os.environ.get("OSTPU_BENCH_GATE_MIN_S", "200")):
+            return False
+        deadline_s = min(60.0, remaining - 10.0)
+        time.sleep(float(os.environ.get("OSTPU_BENCH_GATE_RETRY_SLEEP_S", "10")))
 
 
 def _probe_link() -> float:
@@ -526,6 +602,19 @@ def main() -> None:
             jax.config.update("jax_platforms", plat)
 
         _mark(f"jax imported ({jax.default_backend()})")
+        gate_on = (os.environ.get("OSTPU_BENCH_NO_GATE", "") != "1"
+                   and (jax.default_backend() != "cpu"
+                        or os.environ.get("OSTPU_BENCH_FORCE_GATE", "") == "1"))
+        if gate_on and not _link_gate(total_budget_s, t_start):
+            # the link never carried one 2 MB probe within budget: emit the
+            # self-explaining record and end cleanly (rc=0, parseable)
+            out = _best_known()
+            out["skipped"] = (f"link dead ({_STATE.get('gate_probes', 0)} "
+                              "gate probes timed out)")
+            out["marks"] = _STATE["marks"][-10:]
+            print(json.dumps(out), flush=True)
+            _STATE["done"] = True
+            return
         _probe_link()
 
         g, s, inputs = _build_session()
@@ -607,7 +696,7 @@ def main() -> None:
     if _TINY:
         # tiny mode exists for the emission CI test: the children measure
         # full-size models and have their own coverage
-        final = dict(result)
+        final = _best_known()
         final["children"] = "skipped (tiny mode)"
         print(json.dumps(final), flush=True)
         _STATE["done"] = True
@@ -725,9 +814,7 @@ def main() -> None:
     # Enriched re-print: same headline keys plus the children; the driver
     # parses the LAST JSON line, so this (or the watchdog's line) is the
     # record.
-    final = dict(result)
-    final.update(_STATE["children"])
-    print(json.dumps(final), flush=True)
+    print(json.dumps(_best_known()), flush=True)
     _STATE["done"] = True
 
 
