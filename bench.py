@@ -200,8 +200,9 @@ def _link_gate(total_budget_s: float, t_start: float) -> bool:
     recovery and still capture the headline on an hour that starts dead.
 
     Cost on a live hour: one extra process handshake (~30 s typical). The
-    first attempt's deadline is generous (240 s — live-hour handshakes have
-    measured up to 167 s); retries are short. Returns True to proceed with
+    first attempt's deadline is generous (180 s — live-hour handshakes have
+    measured up to 167 s; an hour slower than that cannot produce a full
+    record anyway); retries are short. Returns True to proceed with
     device work, False when the budget says give up (the caller emits a
     self-explaining record and exits 0). Skipped on the CPU backend (CI)
     unless OSTPU_BENCH_FORCE_GATE=1."""
@@ -221,7 +222,7 @@ def _link_gate(total_budget_s: float, t_start: float) -> bool:
                f"import os, time\n"
                f"if not os.path.exists({sentinel!r}): time.sleep(3600)\n"
                f"print('gate-ok 0.0s', flush=True)"]
-    deadline_s = float(os.environ.get("OSTPU_BENCH_GATE_FIRST_S", "240"))
+    deadline_s = float(os.environ.get("OSTPU_BENCH_GATE_FIRST_S", "180"))
     attempts = 0
     while True:
         attempts += 1
