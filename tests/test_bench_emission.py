@@ -90,51 +90,52 @@ def test_injected_raise_still_yields_rc0_and_error_record():
     assert "link_mbps" in last, last
 
 
-def test_dead_link_gate_gives_up_cleanly():
-    """A permanently dead link: the sacrificial-subprocess gate must detect
-    it on its own deadline (killable, unlike an in-process native stall),
-    give up when the remaining budget can't fit a headline, and end rc=0
-    with a record that names the cause and the attempt count."""
+def test_supervisor_kills_and_retries_dead_link():
+    """A permanently dead link: the child wedges at 'link handshake' (an
+    uninterruptible native block), the supervisor kills it on the link-stage
+    deadline and retries with fresh processes while budget remains, and the
+    run still ends rc=0 with a record naming the stalled stage and the
+    supervisor's attempts."""
     r, parsed, dt = _run_bench(
         {
-            "OSTPU_BENCH_FORCE_GATE": "1",
-            "OSTPU_BENCH_GATE_TEST_MODE": "dead",
-            "OSTPU_BENCH_GATE_FIRST_S": "3",
-            "OSTPU_BENCH_GATE_MIN_S": "600",  # any remainder is too little
-            "OSTPU_BENCH_TOTAL_S": "90",
+            "OSTPU_FAULT_STALL": "link handshake",
+            "OSTPU_BENCH_LINK_STAGE_S": "3",
+            "OSTPU_BENCH_RETRY_MIN_S": "40",
+            "OSTPU_BENCH_TOTAL_S": "75",
+            "OSTPU_BENCH_WATCHDOG_MARGIN_S": "5",
         },
-        timeout=240,
+        timeout=300,
     )
     assert r.returncode == 0, f"rc={r.returncode}, stderr tail: {r.stderr[-800:]}"
     last = parsed[-1]
     assert last["value"] is None
-    assert "link dead" in last.get("skipped", ""), last
-    assert "1 gate probes" in last["skipped"], last
-    assert dt < 60, f"gave up in {dt:.0f}s — should be ~gate deadline + startup"
+    assert "stalled at link" in last.get("skipped", ""), last
+    assert "supervisor" in last or "watchdog" in last, last
+    assert "supervisor: attempt" in r.stderr, r.stderr[-800:]
+    assert dt < 75 + 60, f"lived {dt:.0f}s past the budget"
 
 
-def test_dead_link_gate_catches_mid_budget_recovery(tmp_path):
-    """The link state flips at sub-hour granularity; a dead START must not
-    forfeit the hour. The gate retries until the (simulated) link recovers,
-    then the tiny headline completes normally — with the retry count
-    recorded in the final line."""
+def test_supervisor_retry_catches_mid_budget_recovery(tmp_path):
+    """The link state flips at sub-hour granularity; an hour that STARTS
+    dead must not be forfeited. Attempt 1 wedges at the handshake and is
+    killed; by attempt 2 the (simulated) link has recovered, the tiny
+    headline completes normally, and the final record carries both the real
+    value and the supervisor's kill history."""
     import threading
 
     sentinel = tmp_path / "link-recovered"
 
     def _recover():
-        time.sleep(8.0)  # past attempt 1's 3 s deadline, into the retry wait
+        time.sleep(8.0)  # after attempt 1 reaches the handshake stage
         sentinel.write_text("up")
 
     th = threading.Thread(target=_recover, daemon=True)
     th.start()
     r, parsed, _ = _run_bench(
         {
-            "OSTPU_BENCH_FORCE_GATE": "1",
-            "OSTPU_BENCH_GATE_TEST_MODE": f"dead-until:{sentinel}",
-            "OSTPU_BENCH_GATE_FIRST_S": "3",
-            "OSTPU_BENCH_GATE_MIN_S": "30",
-            "OSTPU_BENCH_GATE_RETRY_SLEEP_S": "3",
+            "OSTPU_FAULT_STALL_UNTIL": f"link handshake:{sentinel}",
+            "OSTPU_BENCH_LINK_STAGE_S": "3",
+            "OSTPU_BENCH_RETRY_MIN_S": "30",
             "OSTPU_BENCH_TOTAL_S": "420",
         },
         timeout=480,
@@ -143,8 +144,8 @@ def test_dead_link_gate_catches_mid_budget_recovery(tmp_path):
     assert r.returncode == 0, f"rc={r.returncode}, stderr tail: {r.stderr[-800:]}"
     last = parsed[-1]
     assert isinstance(last["value"], (int, float)) and last["value"] > 0, last
-    assert last.get("gate_probes", 0) >= 2, last
-    assert last["children"] == "skipped (tiny mode)"
+    assert "attempts" in last.get("supervisor", ""), last
+    assert "supervisor: attempt" in r.stderr, r.stderr[-800:]
 
 
 def test_clean_tiny_run_emits_headline():
