@@ -97,6 +97,15 @@ def _fa_kernel(
     m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
     corr = jnp.exp2(m_prev - m_new)  # (bm, 128)
     p = jnp.exp2(s - m_new[:, :1])  # (bm, bn)
+    if causal and offset < 0:
+        # m > n causal: rows past the last key have ZERO valid columns, so
+        # every score is exactly the NEG_INF sentinel — which equals the
+        # m_scr init, making exp2(s - m_new) = 1 uniformly and the output a
+        # silent mean(V). Zero those probabilities so l stays 0 and _finish's
+        # denom guard emits 0s for such rows (the flash convention). The
+        # extra select stays off every real model's path: offset >= 0
+        # whenever m <= n (all decode/prefill and non-causal cases).
+        p = jnp.where(s <= NEG_INF * 0.5, 0.0, p)
 
     l_new = l_scr[...] * corr + jnp.broadcast_to(jnp.sum(p, axis=1, keepdims=True), m_prev.shape)
     v = v_ref[0]  # (bn, dv)
@@ -378,6 +387,7 @@ def flash_attention(
         out = flash_attention(
             q[None], k[None], v[None], mask=mask, scale=scale, causal=causal,
             block_m=block_m, block_n=block_n, interpret=interpret,
+            pad_lanes=pad_lanes,
         )
         return out[0]
     if q.ndim != 4:
@@ -430,6 +440,11 @@ def flash_attention(
         mask = jnp.asarray(mask)
         if mask.ndim == 2:
             mask = mask[None, None]
+        elif mask.ndim == 3:
+            # (B, M, N) / (1, M, N): ONNX-style batch mask, no head dim
+            mask = mask[:, None]
+        if mask.ndim != 4:
+            raise NotImplementedError(f"mask rank {mask.ndim}")
         mb, mh, mm_, mn_ = mask.shape
         if (mm_, mn_) != (m, n):
             raise NotImplementedError(f"mask trailing dims {(mm_, mn_)} != {(m, n)}")

@@ -205,6 +205,11 @@ class Executor:
             else {}
         )
         self._private_weight_cache: Dict = {}
+        # name -> WeightArg, built once: _eval_op/_eval_qlinear and the W8
+        # selectors run per op per trace (and per step in run_eager), where
+        # a linear scan of ~1000 arg_weights each is O(ops x weights)
+        self._arg_weight_by_name: Dict[str, Any] = {
+            w.name: w for w in plan.arg_weights}
         self.range_data = RangeData()
         self.ops_times: Dict[str, float] = {}
         provider.on_init(plan.stream_entries())
@@ -340,9 +345,15 @@ class Executor:
         specs = [(seg.weight_args[wi].shape,
                   np.dtype(seg.weight_args[wi].upload_dtype), kinds[wi])
                  for wi in big]
+        outs = [formats[wi] if formats is not None
+                else self._weight_shardings.get(seg.weight_args[wi].name)
+                for wi in big]
         gen = _synth_generate(
             specs,
-            out_shardings=[formats[wi] for wi in big] if (formats is not None and big) else None,
+            # mesh sessions: synthesized weights must land TP-sharded, same
+            # as the real-fetch path's device_put destinations; a None list
+            # keeps the unconstrained fast path
+            out_shardings=outs if (big and any(o is not None for o in outs)) else None,
             seed=seed,
         )
         gen_by_wi = dict(zip(big, gen))
@@ -427,10 +438,15 @@ class Executor:
             return {}
         specs = [(tuple(w.shape), np.dtype(w.upload_dtype), kind)
                  for _, w, _, _, kind in plan_items]
+        outs = [fmt if fmt is not None else self._weight_shardings.get(w.name)
+                for _, w, fmt, _, _ in plan_items]
         gen = _synth_generate(
             specs,
-            out_shardings=([fmt for _, _, fmt, _, _ in plan_items]
-                           if formats is not None else None),
+            # mesh (TP) sessions must shard synthesized weights exactly as
+            # the real-fetch miss path does (its device_put dst falls back to
+            # _weight_shardings); otherwise multi-GB weights commit to the
+            # default device and the segment jit sees incompatible devices
+            out_shardings=outs if any(o is not None for o in outs) else None,
         )
         out_by_name: Dict[str, jax.Array] = {}
         for (wi, w, fmt, key, kind), dev in zip(plan_items, gen):
@@ -491,6 +507,15 @@ class Executor:
                 if quant is not None:
                     w.quant = quant
                     w.symmetric = symmetric
+                if self.config.pp_devices:
+                    # a weight shared by segments on DIFFERENT pp stages
+                    # (e.g. tied embeddings) was cached on the first stage's
+                    # device: hop it device-to-device — the provider may have
+                    # already released the host copy, and the jit would
+                    # otherwise see an incompatible-devices input
+                    dv = getattr(dev, "device", None)
+                    if dv is not None and dv != device:
+                        dev = jax.device_put(dev, device)
                 out[wi] = dev
                 continue
             miss.append((wi, w, fmt, key))
@@ -578,7 +603,7 @@ class Executor:
         cdt = self.config.np_compute_dtype
         a = env[op.inputs[0].name]
         w_raw = weights_env[op.inputs[1].name]
-        w = next(w for w in self.plan.arg_weights if w.name == op.inputs[1].name)
+        w = self._arg_weight_by_name[op.inputs[1].name]
         w_scale, w_zero = w.quant
         a_scale, a_zero = self._activation_qparams(op)
         interpret = jax.default_backend() != "tpu"
@@ -690,7 +715,7 @@ class Executor:
             return None
         if self.config.requires_upcast is not None and self.config.requires_upcast(op.op_type, op.name):
             return None
-        w = next((w for w in self.plan.arg_weights if w.name == op.inputs[1].name), None)
+        w = self._arg_weight_by_name.get(op.inputs[1].name)
         if w is None or w.quant is None or len(w.shape) != 2 or w.symmetric:
             return None
         return w
@@ -713,7 +738,7 @@ class Executor:
             return None
         if self.config.requires_upcast is not None and self.config.requires_upcast(op.op_type, op.name):
             return None
-        w = next((w for w in self.plan.arg_weights if w.name == op.inputs[1].name), None)
+        w = self._arg_weight_by_name.get(op.inputs[1].name)
         if w is None or not w.symmetric or w.quant is None or len(w.shape) != 2:
             return None
         return w
@@ -762,7 +787,7 @@ class Executor:
                     ins.append(self.plan.static_weights[t.name])
                 else:
                     v = weights_env[t.name]
-                    w = next(w for w in self.plan.arg_weights if w.name == t.name)
+                    w = self._arg_weight_by_name[t.name]
                     if w.quant is not None:
                         scale, zp = w.quant
                         v = ((v.astype(jnp.float32) - zp) * scale).astype(cdt)
@@ -871,12 +896,19 @@ class Executor:
                 "segments": len(per_seg)}
 
     def _donate(self, si: int):
-        # donation only pays off for large streamed buffers
+        # donation only pays off for large streamed buffers — and is only
+        # SAFE when this call exclusively owns the weight buffers: freshly
+        # uploaded, retained by no cache. PP mode keeps per-stage resident
+        # weights, and a shared cache can serve buffers owned by a sibling
+        # executor; donating either deletes a cached jax.Array and the next
+        # run dies with "Array has been deleted".
         return (
             (0,)
             if (
                 self.config.donate_weights
                 and self.config.hbm_budget_bytes > 0
+                and not self.config.pp_devices
+                and self.config.shared_device_weight_cache is None
                 and self.segments[si].weight_bytes > (1 << 24)
             )
             else ()

@@ -34,6 +34,10 @@ class _Rewriter:
         self.graph = graph
         self.config = config
         self.load = weight_loader
+        # tensors the runtime must still materialize (config.extra_outputs):
+        # an interior tensor in this set must not be fused away, exactly as
+        # in fuse_groupnorm/fuse_gn_conv's keep handling
+        self.keep = set(getattr(config, "extra_outputs", ()) or ())
         self.producer: Dict[str, int] = {}
         self.consumers: Dict[str, List[int]] = {}
         for i, op in enumerate(graph.ops):
@@ -45,6 +49,8 @@ class _Rewriter:
                     self.consumers.setdefault(t.name, []).append(i)
 
     def _only_consumer(self, name: str) -> Optional[int]:
+        if name in self.keep:
+            return None
         c = self.consumers.get(name, [])
         return c[0] if len(c) == 1 else None
 
@@ -92,6 +98,10 @@ class _Rewriter:
         node = prod(cur)
         for _ in range(4):
             if node is None:
+                return None
+            # `cur`'s producer is about to be deleted: `cur` must feed ONLY
+            # this chain and must not be a demanded extra output
+            if self._only_consumer(cur.name) is None:
                 return None
             if node.op_type == "Add" and mask_spec is None:
                 a, b = node.inputs
@@ -162,7 +172,8 @@ class _Rewriter:
                 if s is None:
                     break
                 # the Mul's output must feed only this attention chain
-                if len(self.consumers.get(p.outputs[0].name, [])) != 1:
+                if (len(self.consumers.get(p.outputs[0].name, [])) != 1
+                        or p.outputs[0].name in self.keep):
                     break
                 scale *= s
                 removed.append(self.producer[p.outputs[0].name])
@@ -177,7 +188,8 @@ class _Rewriter:
             perm = k_prod.attr_ints("perm")
             r = len(k_prod.inputs[0].shape)
             swap_last_two = perm is not None and r >= 2 and list(perm) == list(range(r - 2)) + [r - 1, r - 2]
-            if swap_last_two and len(self.consumers.get(kt_spec.name, [])) == 1:
+            if (swap_last_two and kt_spec.name not in self.keep
+                    and len(self.consumers.get(kt_spec.name, [])) == 1):
                 removed.append(self.producer[kt_spec.name])
                 k_spec = k_prod.inputs[0]
                 k_transposed = 0
@@ -239,13 +251,17 @@ class _Rewriter:
             if ti is None:
                 return None
             t = ops[ti]
-            if t.op_type != "Transpose" or len(self.consumers.get(spec.name, [])) != 1:
+            if (t.op_type != "Transpose"
+                    or len(self.consumers.get(spec.name, [])) != 1
+                    or spec.name in self.keep):
                 return None
             perm = t.attr_ints("perm")
             if perm is None or list(perm) != want_perm:
                 return None
             rspec = t.inputs[0]
-            if len(rspec.shape) != 4 or len(self.consumers.get(rspec.name, [])) != 1:
+            if (len(rspec.shape) != 4
+                    or len(self.consumers.get(rspec.name, [])) != 1
+                    or rspec.name in self.keep):
                 return None
             ri = prod_idx(rspec)
             if ri is None or ops[ri].op_type != "Reshape":

@@ -94,10 +94,6 @@ class Plan:
     # re-plans when their VALUES change
     pinned_inputs: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
 
-    @property
-    def arg_weight_index(self) -> Dict[str, int]:
-        return {w.name: i for i, w in enumerate(self.arg_weights)}
-
     def stream_entries(self):
         """(name, dtype, shape) in stream order, for WeightsProvider.on_init."""
         return [(w.name, w.file_dtype, w.shape) for w in self.arg_weights]

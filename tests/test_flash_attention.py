@@ -193,3 +193,45 @@ def test_flash_block_shape_defaults():
     assert _flash_blocks(cfg, 4096) == {"block_m": 1024}
     pinned = SessionConfig(flash_block_m=256, flash_block_n=512)
     assert _flash_blocks(pinned, 4096) == {"block_m": 256, "block_n": 512}
+
+
+def test_flash_rank3_mask_accepted():
+    """(B, M, N) / (1, M, N) additive masks are a valid ONNX broadcast; the
+    wrapper must lift them to (B, 1, M, N) rather than crash unpacking —
+    a ValueError here escaped the sdpa dispatcher's NotImplementedError
+    fallback and killed the whole run (round-5 review find)."""
+    from onnxstream_tpu.kernels.flash_attention import flash_attention
+
+    q = jax.ShapeDtypeStruct((2, 4, 8, 16), jnp.float32)
+    for mshape in ((2, 8, 8), (1, 8, 8)):
+        m = jax.ShapeDtypeStruct(mshape, jnp.float32)
+        out = jax.eval_shape(lambda q_, m_: flash_attention(q_, q_, q_, mask=m_), q, m)
+        assert out.shape == (2, 4, 8, 16)
+    # unsupported ranks must raise NotImplementedError (the dispatcher's
+    # einsum-fallback contract), not ValueError
+    m5 = jax.ShapeDtypeStruct((1, 1, 1, 8, 8), jnp.float32)
+    with pytest.raises(NotImplementedError):
+        jax.eval_shape(lambda q_, m_: flash_attention(q_, q_, q_, mask=m_), q, m5)
+
+
+def test_flash_causal_zero_valid_rows_are_zero():
+    """causal with m > n (offset < 0): rows past the last key have ZERO
+    valid columns. Every score is then exactly the NEG_INF sentinel — which
+    equals the running-max init, so exp2(s - m) was uniformly 1 and the
+    output silently became mean(V) (round-5 review find). Fixed rows must
+    be exactly 0 (the flash convention); valid rows must match the oracle."""
+    from onnxstream_tpu.kernels.flash_attention import flash_attention
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.rand(1, 1, 8, 8).astype(np.float32))
+    k = jnp.asarray(rng.rand(1, 1, 4, 8).astype(np.float32))
+    v = jnp.asarray(rng.rand(1, 1, 4, 8).astype(np.float32))
+    out = np.asarray(flash_attention(q, k, v, causal=True, block_m=8,
+                                     block_n=128, interpret=True))
+    # offset = n - m = -4: rows 0..3 see no keys (col <= row - 4 never holds)
+    assert np.abs(out[0, 0, :4]).max() == 0.0
+    # row 7 sees all 4 keys: plain softmax attention over them
+    s = (q[0, 0, 7] @ np.asarray(k)[0, 0].T) / np.sqrt(8.0)
+    p = np.exp(s - s.max()); p /= p.sum()
+    np.testing.assert_allclose(out[0, 0, 7], p @ np.asarray(v)[0, 0],
+                               rtol=2e-5, atol=2e-5)

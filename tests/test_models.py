@@ -188,3 +188,72 @@ def test_make_mesh_error_paths():
         make_mesh(8, dp=4, sp=4)
     with pytest.raises(ValueError, match="!= n_devices"):
         make_mesh(8, dp=2, tp=2, sp=1)
+
+
+def test_extra_output_survives_attention_fusion():
+    """A demanded interior tensor (config.extra_outputs) inside a fusable
+    attention chain must disable THAT site's fusion — not be silently fused
+    away and KeyError at fetch (round-5 review find; mirrors the keep-set
+    handling fuse_groupnorm/fuse_gn_conv already had)."""
+    s, _ = tiny_session(SessionConfig(fuse_ops_in_attention=True))
+    raw_softmax = [op for op in s._raw_graph.ops if op.op_type == "Softmax"]
+    assert raw_softmax
+    target = raw_softmax[0].outputs[0].name
+    s.add_extra_output(target)
+    kept = [op for op in s.graph.ops
+            if op.op_type == "Softmax" and op.outputs[0].name == target]
+    assert kept, "demanded softmax output was fused away"
+    # the OTHER attention sites still fuse
+    assert any(op.op_type == "ostpu.sdpa" for op in s.graph.ops)
+
+    for k, v in tiny_inputs().items():
+        s.add_tensor(k, v)
+    out = s.run()["out_sample"]
+    probs = np.asarray(s.get_tensor(target), np.float32)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-3, atol=1e-3)
+
+    # numerics match the fully-fused session
+    s2, _ = tiny_session(SessionConfig(fuse_ops_in_attention=True))
+    for k, v in tiny_inputs().items():
+        s2.add_tensor(k, v)
+    ref = s2.run()["out_sample"]
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_mesh_synthetic_weights_are_sharded():
+    """synthetic_device_weights + config.mesh: device-generated weights must
+    land with the SAME TP shardings the real-fetch path would use — not
+    committed to the default device (round-5 review find; the LLM bench
+    path's mesh variant)."""
+    import jax
+
+    from onnxstream_tpu.models.sd.unet import TINY, build_unet
+    from onnxstream_tpu.parallel.sharding import make_mesh, shard_weights
+    from onnxstream_tpu.runtime.config import SessionConfig
+    from onnxstream_tpu.runtime.session import Session
+    from onnxstream_tpu.runtime.weights import DictWeightsProvider
+
+    mesh = make_mesh(8, dp=1, tp=8)
+    g = build_unet(TINY, batch=1)
+    s = Session(config=SessionConfig(mesh=mesh, synthetic_device_weights=True,
+                                     synthetic_min_elements=1 << 8),
+                weights_provider=DictWeightsProvider(g.weights))
+    s.read_string(g.to_text())
+    for k, v in tiny_inputs().items():
+        s.add_tensor(k, v)
+    ex = s._executor()
+    seg = ex.segments[0]
+    devs = ex._fetch_segment_weights(seg)
+    want = {w.name: sh for w, sh in zip(
+        ex.plan.arg_weights,
+        shard_weights(mesh, [w.shape for w in ex.plan.arg_weights]))}
+    n_sharded = 0
+    for w, dev in zip(seg.weight_args, devs):
+        assert dev.sharding.is_equivalent_to(want[w.name], len(w.shape)), (
+            w.name, dev.sharding, want[w.name])
+        if any(p is not None for p in dev.sharding.spec):
+            n_sharded += 1
+    assert n_sharded > 0, "no weight ended up TP-sharded"
+    # (numeric parity of the mesh path is covered by
+    # test_session_mesh_sharded_inference_matches_single; running the full
+    # 8-device compile here too would push this into the slow tier)
