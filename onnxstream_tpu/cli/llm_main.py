@@ -93,8 +93,17 @@ def main(argv=None) -> int:
         print("error: provide --models-path or --synthetic", file=sys.stderr)
         return 2
 
+    import codecs
+
+    # incremental utf-8 assembly: byte-fallback tokens are PARTIAL sequences
+    _inc = codecs.getincrementaldecoder("utf-8")("replace")
+
     def stream(tok_id: int) -> None:
-        print(pipe.tokenizer.decode_token(tok_id), end="", flush=True)
+        tk = pipe.tokenizer
+        if hasattr(tk, "decode_token_bytes"):
+            print(_inc.decode(tk.decode_token_bytes(tok_id)), end="", flush=True)
+        else:
+            print(tk.decode_token(tok_id), end="", flush=True)
 
     # warm-up forward (loads weights + compiles; reference llm.cpp:442-454)
     print("Loading weights...", end="", flush=True)

@@ -716,23 +716,66 @@ class StableDiffusionPipeline:
         ]
         states = [S.SamplerState(sampler, steps, seed=seeds[i], turbo=self.turbo) for i in range(N)]
 
+        import threading
+
         for i in range(steps):
             xb = np.stack([S.prescale_sample(x, sampler, steps, i, sigma, self.turbo) for x in xs])
             den = self._denoise_batch(xb, float(sigma[i]), conds, unconds, cfg_scale)
 
-            def mk_denoise_fn(j):
-                # multi-stage samplers re-call the denoiser per image: replicate
-                # that image across the batch and take its row
-                def fn(x2, s):
+            if N == 1:
+                def fn_single(x2, s):
                     return self._denoise_batch(
-                        np.tile(x2[None], (N, 1, 1, 1)), float(s), conds, unconds, cfg_scale
-                    )[j]
+                        x2[None], float(s), conds, unconds, cfg_scale)[0]
+
+                xs = [S.sampler_step(states[0], xb[0], den[0], sigma, i, fn_single)]
+                continue
+
+            # Multi-stage samplers re-call the denoiser per image. The N
+            # images run the SAME sampler at the same (i, steps), and
+            # sampler control flow never depends on tensor values — so the
+            # per-image calls happen in lockstep and a barrier can stack
+            # them into ONE batched UNet pass per call site. This is the
+            # thread-based form of the reference's N-coroutine batch replay
+            # (src/sd.cpp:1031-1161); the old shape — tiling one image
+            # across the batch per call — cost N full batched passes per
+            # stage (N^2 per-image denoises).
+            slot: List[Optional[np.ndarray]] = [None] * N
+            shared = {"res": None, "s": None}
+            barrier = threading.Barrier(N)
+
+            def mk_denoise_fn(j):
+                def fn(x2, s):
+                    slot[j] = x2
+                    shared["s"] = float(s)
+                    if barrier.wait() == 0:
+                        shared["res"] = self._denoise_batch(
+                            np.stack(slot), shared["s"], conds, unconds, cfg_scale)
+                    barrier.wait()
+                    return shared["res"][j]
                 return fn
 
-            xs = [
-                S.sampler_step(states[j], xb[j], den[j], sigma, i, mk_denoise_fn(j))
-                for j in range(N)
-            ]
+            outs: List[Optional[np.ndarray]] = [None] * N
+            errs: List[Optional[BaseException]] = [None] * N
+
+            def run_j(j):
+                try:
+                    outs[j] = S.sampler_step(
+                        states[j], xb[j], den[j], sigma, i, mk_denoise_fn(j))
+                except BaseException as e:  # noqa: BLE001 - relayed below
+                    errs[j] = e
+                    barrier.abort()
+
+            threads = [threading.Thread(target=run_j, args=(j,)) for j in range(N)]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            first_err = next((e for e in errs
+                              if e is not None
+                              and not isinstance(e, threading.BrokenBarrierError)), None)
+            if first_err is not None:
+                raise first_err
+            xs = list(outs)
 
         results = []
         for j in range(N):
@@ -759,17 +802,20 @@ class StableDiffusionPipeline:
 
     @staticmethod
     def _tile_grid(lh: int, lw: int, tile: int, stride: int) -> Tuple[List[int], List[int]]:
+        # max(0, ...): a latent smaller than the tile gets ONE tile at origin
+        # 0 (the decode slices clamp to the latent), not a negative origin
+        # that would mis-place the assignment
         ys: List[int] = []
         y = 0
         while True:
-            ys.append(min(y, lh - tile))
+            ys.append(max(0, min(y, lh - tile)))
             if y >= lh - tile:
                 break
             y += stride
         xs: List[int] = []
         xx = 0
         while True:
-            xs.append(min(xx, lw - tile))
+            xs.append(max(0, min(xx, lw - tile)))
             if xx >= lw - tile:
                 break
             xx += stride
@@ -797,12 +843,17 @@ class StableDiffusionPipeline:
         uint8 image crosses PCIe. Falls back to the per-tile host loop when
         the decoder is segmented (hbm_budget streaming)."""
         tile = tile or self._tile_size
+        z_lh, z_lw = latents.shape[1], latents.shape[2]
+        # a latent smaller than the tile decodes as ONE clamped tile — the
+        # old grid emitted a negative origin and mis-placed the assignment
+        tile = min(tile, z_lh, z_lw)
         sess = self.vae_tile_session or self.vae_decoder
         # upscale factor from the tile model's declared output shape
         out_spec = sess.graph.produced[sess.graph.output_names()[0]]
         in_spec = next(iter(sess.graph.inputs.values()))
         scale = out_spec.shape[-1] // in_spec.shape[-1] if out_spec.shape and in_spec.shape[-1] else 8
         stride = stride if stride is not None else max(tile * 3 // 4, 1)  # 25% overlap (sd.cpp:1330)
+        stride = min(stride, tile)
         ramp = ramp if ramp is not None else (tile - stride) * scale  # blend over the overlap
         z = latents / np.float32(self.vae_scale)
         lh, lw = z.shape[1], z.shape[2]

@@ -109,9 +109,10 @@ def _f32_island(ctx: Ctx, x, body):
 # Pow 5478, Less/Greater/Equal/And 7637)
 # ---------------------------------------------------------------------------
 
-register("Mul")(_binary(lambda xp, a, b: a * b))
-register("Add")(_binary(lambda xp, a, b: a + b))
-register("Sub")(_binary(lambda xp, a, b: a - b))
+# host=True: all binaries are host-foldable (shape math on int64)
+register("Mul", host=True)(_binary(lambda xp, a, b: a * b))
+register("Add", host=True)(_binary(lambda xp, a, b: a + b))
+register("Sub", host=True)(_binary(lambda xp, a, b: a - b))
 def _div(xp, a, b):
     if _is_float(a):
         return a / b
@@ -120,20 +121,14 @@ def _div(xp, a, b):
     return xp.where((a < 0) != (b < 0), -q, q).astype(a.dtype)
 
 
-register("Div")(_binary(_div))
-register("Less")(_binary(lambda xp, a, b: a < b))
-register("Greater")(_binary(lambda xp, a, b: a > b))
-register("Equal")(_binary(lambda xp, a, b: a == b))
-register("And")(_binary(lambda xp, a, b: (a.astype(bool)) & (b.astype(bool))))
-register("Or")(_binary(lambda xp, a, b: (a.astype(bool)) | (b.astype(bool))))
-register("Min")(_binary(lambda xp, a, b: xp.minimum(a, b)))
-register("Max")(_binary(lambda xp, a, b: xp.maximum(a, b)))
-
-# mark host-foldable binaries (shape math on int64)
-for _t in ("Mul", "Add", "Sub", "Div", "Less", "Greater", "Equal", "And", "Or", "Min", "Max"):
-    from onnxstream_tpu.ops import _REGISTRY
-
-    _REGISTRY[_t].host = True
+register("Div", host=True)(_binary(_div))
+register("Less", host=True)(_binary(lambda xp, a, b: a < b))
+register("Greater", host=True)(_binary(lambda xp, a, b: a > b))
+register("Equal", host=True)(_binary(lambda xp, a, b: a == b))
+register("And", host=True)(_binary(lambda xp, a, b: (a.astype(bool)) & (b.astype(bool))))
+register("Or", host=True)(_binary(lambda xp, a, b: (a.astype(bool)) | (b.astype(bool))))
+register("Min", host=True)(_binary(lambda xp, a, b: xp.minimum(a, b)))
+register("Max", host=True)(_binary(lambda xp, a, b: xp.maximum(a, b)))
 
 
 @register("Pow", host=True)
@@ -271,7 +266,13 @@ def _reshape(ctx: Ctx, op, ins):
 @register("Flatten", host=True)
 def _flatten(ctx: Ctx, op, ins):
     x = ins[0]
-    axis = op.attr_int("axis", 1) % (x.ndim + 1)
+    axis = op.attr_int("axis", 1)
+    if axis < 0:
+        # spec: axis in [-r, r]; -1 means the LAST axis (r-1 after wrap),
+        # not r — `% (ndim + 1)` sent -1 to r and flattened to (N, 1)
+        axis += x.ndim
+    if not 0 <= axis <= x.ndim:
+        raise ValueError(f"Flatten: axis {op.attr_int('axis', 1)} out of range for rank {x.ndim}")
     lead = int(np.prod(x.shape[:axis])) if axis > 0 else 1
     return [ctx.xp.reshape(x, (lead, -1))]
 
@@ -326,6 +327,11 @@ def _split(ctx: Ctx, op, ins):
         base = -(-d // n_out)
         sizes = [base] * n_out
         sizes[-1] = d - base * (n_out - 1)
+        if sizes[-1] < 0:
+            # dim too small for n_out even chunks (e.g. 5 into 4): the
+            # clamped slices would silently emit empty outputs; ORT rejects
+            raise ValueError(
+                f"Split: axis dim {d} cannot make {n_out} even chunks")
     outs = []
     off = 0
     for s in sizes:
@@ -384,10 +390,26 @@ def _gather(ctx: Ctx, op, ins):
     return [jnp.take(x, idx, axis=axis)]
 
 
+def _shape_slice(shape, op):
+    """opset-15 start/end attrs: a [start:end) window of the shape vector,
+    negative values wrapping on the rank (spec Shape-15)."""
+    r = len(shape)
+    start = op.attr_int("start", 0)
+    end = op.attr_int("end", r)
+    if start < 0:
+        start += r
+    if end < 0:
+        end += r
+    start = min(max(start, 0), r)
+    end = min(max(end, 0), r)
+    return shape[start:max(start, end)]
+
+
 @register("Shape", host=True)
 def _shape(ctx: Ctx, op, ins):
-    # Special: the executor folds Shape from metadata even for traced inputs.
-    return [np.asarray(np.shape(ins[0]), dtype=np.int64)]
+    # Special: the executor folds Shape from metadata even for traced inputs
+    # (the fold applies the same start/end window).
+    return [np.asarray(_shape_slice(np.shape(ins[0]), op), dtype=np.int64)]
 
 
 @register("Where", host=True)
@@ -942,11 +964,12 @@ def _maxpool(ctx: Ctx, op, ins):
     if any(d != 1 for d in dilations):
         raise NotImplementedError("MaxPool dilations != 1")
 
+    spatial0 = 1 if op.attr("layout") == "NHWC" else 2
     padding = []
     for i in range(n_spatial):
         lo, hi = pads[i], pads[i + n_spatial]
         if ceil_mode:
-            size = x.shape[2 + i] + lo + hi
+            size = x.shape[spatial0 + i] + lo + hi
             out_dim = -(-(size - kernel[i]) // strides[i]) + 1
             needed = (out_dim - 1) * strides[i] + kernel[i] - size
             hi += max(0, needed)
@@ -983,7 +1006,21 @@ def _avgpool(ctx: Ctx, op, ins):
     strides = list(op.attr_ints("strides", [1] * n_spatial))
     pads = list(op.attr_ints("pads", [0] * (2 * n_spatial)))
     count_include_pad = op.attr_int("count_include_pad", 0)
-    padding = [(pads[i], pads[i + n_spatial]) for i in range(n_spatial)]
+    ceil_mode = op.attr_int("ceil_mode", 0)
+    spatial0 = 1 if op.attr("layout") == "NHWC" else 2
+    padding = []
+    for i in range(n_spatial):
+        lo, hi = pads[i], pads[i + n_spatial]
+        if ceil_mode:
+            # same extra-hi-pad derivation as MaxPool above: ceil the output
+            # dim, then pad just enough for the last window to fit. The
+            # ceil-added region counts as padding (excluded when
+            # count_include_pad=0), matching the ONNX reference.
+            size = x.shape[spatial0 + i] + lo + hi
+            out_dim = -(-(size - kernel[i]) // strides[i]) + 1
+            needed = (out_dim - 1) * strides[i] + kernel[i] - size
+            hi += max(0, needed)
+        padding.append((lo, hi))
     ones = jnp.ones_like(x, dtype=jnp.float32)
     dims, strd, padd = _window_tuples(op, kernel, strides, padding)
     s = lax.reduce_window(x.astype(jnp.float32), 0.0, lax.add, dims, strd, padd)

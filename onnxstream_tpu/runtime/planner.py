@@ -228,7 +228,10 @@ class _Planner:
                 shape = op.inputs[0].shape
             else:
                 raise PlanError(f"{op.name}: Shape of missing input")
-            out = np.asarray(shape, dtype=np.int64)
+            from onnxstream_tpu.ops.standard import _shape_slice
+
+            # same opset-15 start/end window as the op impl
+            out = np.asarray(_shape_slice(tuple(shape), op), dtype=np.int64)
             self._finish_host(op, [out])
             return
 

@@ -14,7 +14,7 @@ def test_vocab_file_parse(tmp_path):
     p.write_text("0,<unk>\n0,<s>\n0,</s>\n-1,a\n-2,b\n-3,ab\n0,<0x41>\n")
     tok = SentencePieceBPE.from_file(str(p))
     assert tok.decode_token(6) == "A"  # byte token
-    assert tok.token2idx["ab"] == 5
+    assert tok.token2idx[b"ab"] == 5  # byte-keyed vocab (llm.cpp byte walk)
 
 
 def test_greedy_score_merge():
@@ -242,3 +242,30 @@ def test_int8_weights_logits_close_and_quantized():
     ex = s._executor()
     quantized = [w for w in ex.plan.arg_weights if w.quant is not None]
     assert len(quantized) >= len(s.config.force_uint8_storage_set)
+
+
+def test_tokenizer_utf8_byte_fallback():
+    """The reference walks UTF-8 BYTES (llm.cpp:288-340): a char absent from
+    the vocab as text must seed from its <0xNN> byte tokens — 'é' (U+00E9)
+    is <0xC3><0xA9>, NOT the single byte token <0xE9>; chars above U+00FF
+    must not crash. Round-trip happens at the byte level."""
+    tokens = [(0, "<unk>")]
+    byte_ids = {}
+    for b in range(256):
+        byte_ids[b] = len(tokens)
+        tokens.append((0, bytes([b])))
+    tokens.append((-1, "hi"))
+    tok = SentencePieceBPE(tokens)
+
+    ids = tok.encode("é")
+    assert ids == [byte_ids[0xC3], byte_ids[0xA9]], ids
+    # the single-byte token <0xE9> must NOT be chosen
+    assert byte_ids[0xE9] not in ids
+
+    snow = "☃"  # U+2603 -> E2 98 83; crashed the codepoint walk
+    ids = tok.encode(snow)
+    assert [tok.decode_token_bytes(i) for i in ids] == [b"\xe2", b"\x98", b"\x83"]
+    assert b"".join(tok.decode_token_bytes(i) for i in ids).decode("utf-8") == snow
+
+    # merges still operate over byte strings
+    assert tok.encode("hi") == [len(tokens) - 1]

@@ -392,3 +392,56 @@ def test_conv_rowdot_matches_lax():
     ref2 = lax.conv_general_dilated(x, wt, (2, 2), [(1, 1), (1, 1)], dimension_numbers=dn,
                                     precision=lax.Precision.HIGHEST)
     np.testing.assert_allclose(np.asarray(y2), np.asarray(ref2), rtol=1e-4, atol=1e-4)
+
+
+# --------------------------------------------- round-5 review op-spec fixes
+def test_flatten_negative_axis():
+    """ONNX Flatten: axis=-1 means the LAST axis — (2,3,4) -> (6,4); the old
+    `% (ndim+1)` wrap sent -1 to ndim and produced (24,1)."""
+    x = rand(2, 3, 4)
+    (y,) = run_op("Flatten", [jnp.asarray(x)], {"axis": -1})
+    assert y.shape == (6, 4)
+    assert_close(y, x.reshape(6, 4))
+    (y0,) = run_op("Flatten", [jnp.asarray(x)], {"axis": 0})
+    assert y0.shape == (1, 24)
+    (y2,) = run_op("Flatten", [jnp.asarray(x)], {"axis": -3})
+    assert y2.shape == (1, 24)
+
+
+def test_shape_start_end():
+    """opset-15 Shape start/end window (with negative wrapping)."""
+    x = rand(2, 3, 4, 5)
+    (s,) = run_op("Shape", [jnp.asarray(x)], {"start": 2})
+    assert list(s) == [4, 5]
+    (s,) = run_op("Shape", [jnp.asarray(x)], {"start": 1, "end": 3})
+    assert list(s) == [3, 4]
+    (s,) = run_op("Shape", [jnp.asarray(x)], {"start": -1})
+    assert list(s) == [5]
+    (s,) = run_op("Shape", [jnp.asarray(x)], {"end": -2})
+    assert list(s) == [2, 3]
+    (s,) = run_op("Shape", [jnp.asarray(x)], {"start": 3, "end": 1})
+    assert list(s) == []  # empty window, not negative
+
+
+def test_avgpool_ceil_mode():
+    x = rand(1, 3, 15, 15)
+    (y,) = run_op(
+        "AveragePool",
+        [jnp.asarray(x)],
+        {"kernel_shape": "3,3", "strides": "2,2", "ceil_mode": 1},
+    )
+    ref = F.avg_pool2d(torch.tensor(x), 3, stride=2, ceil_mode=True,
+                       count_include_pad=False)
+    assert y.shape == tuple(ref.shape)
+    assert_close(y, ref.numpy(), 1e-4)
+
+
+def test_split_uneven_too_many_outputs_rejected():
+    """dim 5 into 4 even chunks is impossible (last size would be negative);
+    the old code silently emitted clamped/empty outputs."""
+    x = rand(5, 2)
+    with pytest.raises(ValueError):
+        run_op("Split", [jnp.asarray(x)], {"axis": 0}, n_out=4)
+    # the legal uneven case still works: ceil chunks with a short tail
+    outs = run_op("Split", [jnp.asarray(x)], {"axis": 0}, n_out=3)
+    assert [o.shape[0] for o in outs] == [2, 2, 1]

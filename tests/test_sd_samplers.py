@@ -181,3 +181,49 @@ def test_turbo_reshaper_active():
     a, _ = _run_sampler("euler", steps=5, turbo=False, state_dependent=True)
     b, _ = _run_sampler("euler", steps=5, turbo=True, state_dependent=True)
     assert np.abs(a - b).max() > 1e-5
+
+
+def test_taylor3_matches_reference_recurrence():
+    """Locks taylor3 to the reference's exact update (samplers.h:942-1037,
+    ORIGINAL branch): history buffers hold the raw derivatives d_{i-1},
+    d_{i-2}; d2 = (d - d_{i-1})/hp and d3 = (d2 - d_{i-2})/hp — note the
+    reference deliberately subtracts a FIRST derivative from d2 (adapted
+    from mlimgsynth; its alternate branch expands to identical
+    coefficients, verified algebraically). A review flagged this as a
+    possible unit-mixing bug; it is the spec."""
+    import numpy as np
+
+    from onnxstream_tpu.models.sd.samplers import SamplerState, sampler_step
+    from onnxstream_tpu.models.sd.scheduler import sigma_schedule
+
+    steps = 5
+    sigma = sigma_schedule(steps)
+    state = SamplerState("taylor3", steps, seed=0)
+    rng = np.random.RandomState(3)
+    x = (rng.randn(4, 2, 2) * float(sigma[0])).astype(np.float32)
+    dens = [rng.randn(4, 2, 2).astype(np.float32) for _ in range(steps)]
+
+    # independent float64 replication of the reference recurrence
+    xe = x.astype(np.float64)
+    hist = {}
+    hp = None
+    for i in range(steps):
+        dt = float(sigma[i + 1]) - float(sigma[i])
+        d = (xe - dens[i]) / float(sigma[i])
+        if i == 0:
+            xe = xe + dt * d
+        elif i == 1:
+            d2 = (d - hist[1]) / hp
+            xe = xe + dt * d + dt * dt / 2 * d2
+        else:
+            d2 = (d - hist[1]) / hp
+            d3 = (d2 - hist[2]) / hp  # reference subtracts d_{i-2} here
+            xe = xe + dt * d + dt * dt / 2 * d2 + dt ** 3 / 6 * d3
+        hist[2] = hist.get(1)
+        hist[1] = d
+        hp = dt
+
+    xa = x.copy()
+    for i in range(steps):
+        xa = sampler_step(state, xa, dens[i], sigma, i, None)
+    np.testing.assert_allclose(xa, xe.astype(np.float32), rtol=2e-4, atol=2e-4)
