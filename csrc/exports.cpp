@@ -30,8 +30,10 @@ PyObject* g_capi = nullptr;  // onnxstream_tpu.api.capi module
 
 void ensure_python() {
     std::call_once(g_init_once, [] {
+        bool we_initialized = false;
         if (!Py_IsInitialized()) {
             Py_InitializeEx(0);
+            we_initialized = true;
         }
         PyGILState_STATE gil = PyGILState_Ensure();
         g_capi = PyImport_ImportModule("onnxstream_tpu.api.capi");
@@ -39,6 +41,12 @@ void ensure_python() {
             PyErr_Print();
         }
         PyGILState_Release(gil);
+        if (we_initialized) {
+            // Py_InitializeEx leaves THIS thread holding the GIL; detach so
+            // other threads' PyGILState_Ensure can acquire it — the ABI is
+            // callable from any thread (finalizer threads, worker pools)
+            PyEval_SaveThread();
+        }
     });
 }
 
@@ -153,18 +161,19 @@ OSTPU_EXPORT void* model_add_weights_file(ModelContext* obj, char* type, char* n
 
 static void flush_pending(long h) {
     if (!g_pending) return;
-    std::vector<PendingWeight> keep;
-    for (auto& p : *g_pending) {
-        if (p.handle != h) {
-            keep.push_back(p);
-            continue;
-        }
+    // snapshot THIS handle's entries first, atomically under the GIL: the
+    // call() below re-enters the interpreter, which can hand the GIL to
+    // another thread that push_backs into g_pending and reallocates the
+    // vector mid-iteration
+    std::vector<PendingWeight> mine, keep;
+    for (auto& p : *g_pending) (p.handle == h ? mine : keep).push_back(p);
+    g_pending->swap(keep);
+    for (auto& p : mine) {
         PyObject* mem = PyMemoryView_FromMemory((char*)p.buf, p.size, PyBUF_READ);
         Py_XDECREF(call("model_add_weights_file",
                         Py_BuildValue("(lssN)", h, p.type.c_str(), p.name.c_str(), mem)));
         ::free(p.buf);  // capi copied the bytes (np.frombuffer(...).copy())
     }
-    g_pending->swap(keep);
 }
 
 static void drop_pending(long h) {  // model_delete without delivery
@@ -213,12 +222,14 @@ OSTPU_EXPORT void* model_add_tensor(ModelContext* obj, char* type, char* name,
 
 static void flush_tensors(long h) {
     if (!g_pending_tensors) return;
-    std::vector<PendingTensor> keep;
+    // same snapshot-first discipline as flush_pending (GIL can move inside
+    // call(), invalidating a live iterator)
+    std::vector<PendingTensor> mine, keep;
     for (auto& p : *g_pending_tensors) {
-        if (p.handle != h) {
-            keep.push_back(p);
-            continue;
-        }
+        (p.handle == h ? mine : keep).push_back(p);
+    }
+    g_pending_tensors->swap(keep);
+    for (auto& p : mine) {
         PyObject* dlist = PyList_New((Py_ssize_t)p.dims.size());
         for (size_t i = 0; i < p.dims.size(); i++)
             PyList_SetItem(dlist, (Py_ssize_t)i, PyLong_FromSize_t(p.dims[i]));
@@ -227,7 +238,6 @@ static void flush_tensors(long h) {
                         Py_BuildValue("(lssNN)", h, p.type.c_str(), p.name.c_str(), dlist, mem)));
         ::free(p.buf);  // capi copied (np.frombuffer(...).copy())
     }
-    g_pending_tensors->swap(keep);
 }
 
 static void drop_tensors(long h) {  // model_delete without delivery

@@ -111,15 +111,30 @@ function rowStrides(shape) {
 // {shape: number[], dtype: 'float32'|'int64', data: Float32Array|Float64Array}
 // int64 is held as Float64Array of Numbers (values in the browser op set are
 // shapes/indices, far below 2^53); INT64_MAX sentinels clamp on decode.
+// A TypedArray argument (e.g. the Uint8Array of a fetched .bin) carries raw
+// BYTES to reinterpret — `new Float32Array(someUint8Array)` would instead
+// CONVERT each byte to one float (4x the elements, values 0-255), silently
+// corrupting every weight. View the underlying bytes, like client.js's
+// raw-bytes HTTP path.
+function asByteView(buffer) {
+    if (buffer instanceof ArrayBuffer) return new Uint8Array(buffer.slice(0));
+    if (ArrayBuffer.isView(buffer)) {
+        return new Uint8Array(
+            buffer.buffer.slice(buffer.byteOffset, buffer.byteOffset + buffer.byteLength));
+    }
+    return new Uint8Array(buffer);
+}
+
 function tensorFromBuffer(dtype, shape, buffer) {
+    const bytes = asByteView(buffer);
     if (dtype === "float32") {
-        const data = new Float32Array(buffer.slice(0));
+        const data = new Float32Array(bytes.buffer, 0, bytes.byteLength >> 2);
         if (shape && data.length !== numel(shape))
             throw new Error(`size mismatch: ${data.length} vs shape ${shape}`);
         return { shape, dtype, data };
     }
     if (dtype === "int64") {
-        const big = new BigInt64Array(buffer.slice(0));
+        const big = new BigInt64Array(bytes.buffer, 0, bytes.byteLength >> 3);
         const data = new Float64Array(big.length);
         for (let i = 0; i < big.length; i++) {
             let v = big[i];
@@ -478,32 +493,60 @@ function opReshape(x, shapeSpec) {
     return { shape, dtype: x.dtype, data: x.data };
 }
 
-function opSlice(x, starts, ends, axes) {
+function opSlice(x, starts, ends, axes, steps) {
     const n = x.shape.length;
-    const st = x.shape.map(() => 0), en = x.shape.slice();
+    const st = x.shape.map(() => 0), en = x.shape.slice(), sp = x.shape.map(() => 1);
     for (let i = 0; i < starts.length; i++) {
         let ax = axes ? axes[i] : i;
         if (ax < 0) ax += n;
         const d = x.shape[ax];
+        const step = steps ? steps[i] : 1;
+        if (step === 0) throw new Error("Slice: step 0");
         let s = starts[i], e = ends[i];
         if (s < 0) s += d;
         if (e < 0) e += d;
-        st[ax] = Math.min(Math.max(s, 0), d);
-        en[ax] = Math.min(Math.max(e, 0), d);
+        if (step > 0) {
+            st[ax] = Math.min(Math.max(s, 0), d);
+            en[ax] = Math.min(Math.max(e, 0), d);
+        } else {
+            // negative step: start clamps to [0, d-1], end to [-1, d-1]
+            // (ONNX Slice-13; e may legitimately be -1-before-wrap = "past
+            // the first element", which the caller passes as e-d after wrap)
+            st[ax] = Math.min(Math.max(s, 0), d - 1);
+            en[ax] = Math.min(Math.max(ends[i] < 0 && ends[i] + d < 0 ? -1 : e, -1), d - 1);
+        }
+        sp[ax] = step;
     }
-    const outShape = st.map((s, i) => Math.max(en[i] - s, 0));
+    const outShape = st.map((s, i) => Math.max(Math.ceil((en[i] - s) / sp[i]), 0));
     const inSt = rowStrides(x.shape);
     const total = numel(outShape);
     const out = x.dtype === "int64" ? new Float64Array(total) : new Float32Array(total);
+    if (total === 0) return { shape: outShape, dtype: x.dtype, data: out };
+    const allUnit = sp.every(v => v === 1);
+    if (allUnit) {
+        const idx = new Array(n).fill(0);
+        let base = st.reduce((a, s, i) => a + s * inSt[i], 0);
+        const lastLen = outShape[n - 1];
+        for (let o = 0; o < total; o += lastLen) {
+            out.set(x.data.subarray(base, base + lastLen), o);
+            for (let d = n - 2; d >= 0; d--) {
+                idx[d]++; base += inSt[d];
+                if (idx[d] < outShape[d]) break;
+                idx[d] = 0; base -= outShape[d] * inSt[d];
+            }
+        }
+        return { shape: outShape, dtype: x.dtype, data: out };
+    }
+    // general strided walk (reverse/step slices are rare and small)
     const idx = new Array(n).fill(0);
-    let base = st.reduce((a, s, i) => a + s * inSt[i], 0);
-    const lastLen = outShape[n - 1];
-    for (let o = 0; o < total; o += lastLen) {
-        out.set(x.data.subarray(base, base + lastLen), o);
-        for (let d = n - 2; d >= 0; d--) {
-            idx[d]++; base += inSt[d];
+    for (let o = 0; o < total; o++) {
+        let base = 0;
+        for (let d = 0; d < n; d++) base += (st[d] + idx[d] * sp[d]) * inSt[d];
+        out[o] = x.data[base];
+        for (let d = n - 1; d >= 0; d--) {
+            idx[d]++;
             if (idx[d] < outShape[d]) break;
-            idx[d] = 0; base -= outShape[d] * inSt[d];
+            idx[d] = 0;
         }
     }
     return { shape: outShape, dtype: x.dtype, data: out };
@@ -702,7 +745,9 @@ class InterpModel {
                     const starts = Array.from(get(1).data), ends = Array.from(get(2).data);
                     const axes = op.inputs.length > 3 && op.inputs[3].name
                         ? Array.from(get(3).data) : null;
-                    outs = [opSlice(x, starts, ends, axes)];
+                    const steps = op.inputs.length > 4 && op.inputs[4].name
+                        ? Array.from(get(4).data) : null;
+                    outs = [opSlice(x, starts, ends, axes, steps)];
                     break;
                 }
                 case "Resize": {

@@ -84,9 +84,31 @@ def main(argv=None) -> int:
         cfg = TINYLLAMA if is_tiny else MISTRAL
         tok = SentencePieceBPE.from_file(os.path.join(args.models_path, "vocab.txt"), is_tiny=is_tiny)
         weights = {}
+        model_txt = os.path.join(args.models_path, "model.txt")
+        declared = {}
+        if os.path.exists(model_txt):
+            # the downloaded catalog models are the reference's fp16 graphs:
+            # each weight ref in model.txt declares its dtype + shape — a
+            # blanket np.float32 read would misparse every fp16 .bin
+            from onnxstream_tpu.ir import parse_model_txt
+
+            gref = parse_model_txt(open(model_txt).read())
+            for op in gref.ops:
+                for t in op.inputs:
+                    if t.is_weight and t.name:
+                        declared[t.name] = t
         for f in os.listdir(args.models_path):
-            if f.endswith(".bin"):
-                weights[f] = np.fromfile(os.path.join(args.models_path, f), np.float32)
+            if not f.endswith(".bin"):
+                continue
+            path = os.path.join(args.models_path, f)
+            spec = declared.get(f)
+            if spec is not None:
+                arr = np.fromfile(path, spec.dtype.np)
+                if spec.shape:
+                    arr = arr.reshape(spec.shape)
+                weights[f] = arr
+            else:
+                weights[f] = np.fromfile(path, np.float32)
         pipe = LlamaPipeline(cfg, weights=weights, tokenizer=tok,
                              compute_dtype=args.compute_dtype, is_tiny_chat=is_tiny)
     else:

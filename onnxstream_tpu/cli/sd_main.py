@@ -36,8 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="save a low-res latent-RGB projection per step")
     p.add_argument("--decode-steps", action="store_true",
                    help="full VAE decode per step (reference sd.cpp:1745-1768)")
-    p.add_argument("--not-tiled", action="store_true", help="full VAE decode")
-    p.add_argument("--tiled", action="store_true", help="force tiled VAE decode")
+    p.add_argument("--not-tiled", action="store_true",
+                   help="full (non-tiled) VAE decode; tiled is the default, "
+                        "matching the reference sd executable (sd.cpp m_tiled)")
+    p.add_argument("--tiled", action="store_true",
+                   help="force tiled VAE decode (already the default)")
     p.add_argument("--embed-parameters", action="store_true")
     p.add_argument("--ops-printf", action="store_true")
     p.add_argument("--ops-times", action="store_true")
@@ -52,6 +55,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force the per-step host diffusion loop (default: one on-device program for euler samplers)")
     p.add_argument("--device", default="", choices=["", "cpu", "tpu"], help="force jax backend")
     return p
+
+
+def _suffixed(path: str, suffix: str) -> str:
+    """result.png + _0 -> result_0.png — splitext, NOT str.replace on the
+    first dot, which corrupted dotted directories ('./result.png')."""
+    import os
+
+    root, ext = os.path.splitext(path)
+    return f"{root}{suffix}{ext or '.png'}"
 
 
 def main(argv=None) -> int:
@@ -95,7 +107,7 @@ def main(argv=None) -> int:
 
     if args.decode_latents:
         lat = StableDiffusionPipeline.load_latents(args.decode_latents, pipe.lath, pipe.latw)
-        img = pipe.decode(lat, tiled=args.tiled and not args.not_tiled)
+        img = pipe.decode(lat, tiled=args.tiled or not args.not_tiled)
         save_image(img, args.output)
         print(f"decoded {args.decode_latents} -> {args.output}")
         return 0
@@ -111,7 +123,7 @@ def main(argv=None) -> int:
                 args.prompt, args.neg_prompt, steps=args.steps, seed=seed + n,
                 sampler=args.sampler, cfg_scale=args.cfg_scale,
                 decode=not args.save_latents,
-                tiled_decode=args.tiled and not args.not_tiled,
+                tiled_decode=args.tiled or not args.not_tiled,
             )
         else:
             res = pipe.generate(
@@ -122,11 +134,11 @@ def main(argv=None) -> int:
                 sampler=args.sampler,
                 cfg_scale=args.cfg_scale,
                 decode=not args.save_latents,
-                tiled_decode=args.tiled and not args.not_tiled,
+                tiled_decode=args.tiled or not args.not_tiled,
                 preview_steps=args.preview_steps,
                 decode_steps=args.decode_steps,
             )
-        out = args.output if args.num == 1 else args.output.replace(".", f"_{n}.", 1)
+        out = args.output if args.num == 1 else _suffixed(args.output, f"_{n}")
         if args.save_latents:
             StableDiffusionPipeline.save_latents(args.save_latents, res.latents)
             print(f"saved latents -> {args.save_latents}")
@@ -142,9 +154,9 @@ def main(argv=None) -> int:
             from onnxstream_tpu.models.sd.pipeline import upscale8x
 
             for i, pv in enumerate(res.previews):
-                save_image(upscale8x(pv), out.replace(".", f"_preview_{i}.", 1))
+                save_image(upscale8x(pv), _suffixed(out, f"_preview_{i}"))
         for i, im in enumerate(res.step_images):
-            save_image(im, out.replace(".", f"_{i}.", 1))
+            save_image(im, _suffixed(out, f"_{i}"))
 
     if args.decoder_calibrate and pipe.vae_decoder is not None:
         ex = pipe.vae_decoder._executor()

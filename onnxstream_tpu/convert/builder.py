@@ -198,7 +198,9 @@ class GraphBuilder:
         with open(os.path.join(directory, "model.txt"), "w") as f:
             f.write(self.to_text())
         for name, arr in self.weights.items():
-            arr.tofile(os.path.join(directory, name))
+            # materialize LazyArray placeholders (lazy_weights=True) via
+            # __array__ instead of crashing on a missing .tofile
+            np.asarray(arr).tofile(os.path.join(directory, name))
 
     # ---------------------------------------------------------- primitives
     def conv(

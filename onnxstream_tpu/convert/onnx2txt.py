@@ -251,8 +251,34 @@ def convert(
         weights[n] = t
     graph_io_shapes = {t.name: t.dims for t in list(graph.inputs) + list(graph.outputs)}
 
+    # a weight consumed by several nodes is re-saved per consumer; when
+    # consumers apply DIFFERENT transforms (quantize exclusions, int64->f32
+    # Mul cast, Gemm transpose), last-writer-wins would corrupt the shared
+    # .bin while model.txt still references both forms — detect the conflict
+    # by content and fork the name (reference quantize.py applies an
+    # every-consumer rule; this is the general converter-side guard)
+    import hashlib
+
+    _written: Dict[str, str] = {}
+
     def save_bin(name: str, arr: np.ndarray) -> None:
         arr.tofile(os.path.join(dest_folder, name))
+
+    def dedup_name(name: str, blob: np.ndarray) -> str:
+        digest = hashlib.sha1(blob.tobytes()).hexdigest()
+        # fork BEFORE a trailing _nchw so the forked name keeps the
+        # `X_nchw.bin` <-> `X_nhwc.bin` companion convention
+        # (utils/download.py:102, reference sd.cpp:3156-3183)
+        base, suffix = name, ""
+        if base.endswith("_nchw"):
+            base, suffix = base[: -len("_nchw")], "_nchw"
+        cand = base + suffix
+        k = 2
+        while cand in _written and _written[cand] != digest:
+            cand = f"{base}__v{k}{suffix}"
+            k += 1
+        _written[cand] = digest
+        return cand
 
     lines: List[str] = []
     for node in nodes:
@@ -295,10 +321,14 @@ def convert(
                     a = a[..., np.newaxis]
                 if a.ndim != 4:
                     raise ValueError(f"Conv weight {wname}: rank {a.ndim}")
-                save_bin(name + "_nhwc.bin", np.ascontiguousarray(np.transpose(a, (0, 2, 3, 1))))
                 name += "_nchw"
             shape = ",".join(str(d) for d in a.shape)
-            save_bin(name + ".bin", np.ascontiguousarray(a))
+            blob = np.ascontiguousarray(a)
+            name = dedup_name(name, blob)
+            if name.endswith("_nchw"):
+                save_bin(name[: -len("_nchw")] + "_nhwc.bin",
+                         np.ascontiguousarray(np.transpose(a, (0, 2, 3, 1))))
+            save_bin(name + ".bin", blob)
             return f"{name}.bin({tstr}:{shape})"
 
         parts = [f"{final_name(node.name) if node.name else node.op_type}:{node.op_type}"]

@@ -365,6 +365,10 @@ def _typed_prop(interp, ta: JSTypedArray, name: str):
         return JSArrayBuffer(ta.arr)
     if name == "byteLength":
         return float(ta.arr.nbytes)
+    if name == "byteOffset":
+        # the engine's typed arrays always own a fresh copy of their buffer
+        # slice, so the view offset is spec-correctly 0
+        return 0.0
     if name == "BYTES_PER_ELEMENT":
         return float(ta.arr.dtype.itemsize)
     if name == "set":
@@ -921,7 +925,10 @@ def make_globals(engine) -> dict:
 
     def _ab_ctor(this, args):
         return JSArrayBuffer(np.zeros(_int_arg(args, 0, 0), np.uint8))
-    g["ArrayBuffer"] = NativeFunction("ArrayBuffer", _ab_ctor)
+    g["ArrayBuffer"] = NativeFunction("ArrayBuffer", _ab_ctor, props={
+        "isView": NativeFunction(
+            "isView", lambda this, args: isinstance(_arg(args, 0), JSTypedArray)),
+    })
 
     def _number(this, args):
         v = _arg(args, 0, 0.0)

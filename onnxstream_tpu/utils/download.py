@@ -81,13 +81,19 @@ def _curl_batch(pairs: Sequence[Tuple[str, str]]) -> None:
 
 
 def _fetch(pairs: Sequence[Tuple[str, str]], parallel: int) -> None:
+    # download to `<dest>.part` and rename on success: a curl batch killed
+    # mid-transfer must not leave a truncated file that the exists() check
+    # would treat as complete forever
     pairs = [(u, d) for u, d in pairs if not os.path.exists(d)]
     local = [(u, d) for u, d in pairs if u.startswith("file://")]
     remote = [(u, d) for u, d in pairs if not u.startswith("file://")]
     for u, d in local:
         shutil.copyfile(u[len("file://"):], d)
     for i in range(0, len(remote), parallel):
-        _curl_batch(remote[i : i + parallel])
+        batch = remote[i : i + parallel]
+        _curl_batch([(u, d + ".part") for u, d in batch])
+        for _u, d in batch:
+            os.replace(d + ".part", d)
 
 
 def weights_manifest(model_txt_path: str) -> List[str]:

@@ -18,6 +18,7 @@
  * embedded CPython finds the package and stays off the tunneled chip.
  */
 #include <stddef.h>
+#include <pthread.h>
 #include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
@@ -64,6 +65,29 @@ typedef struct {
 static char MODEL_TXT[] =
     "m:Mul*input:x(2,3);w.bin(float32:2,3)*output:y(2,3)\n"
     "a:Add*input:y(2,3);b.bin(float32:3)*output:z(2,3)\n";
+
+static void* thread_worker(void* arg) {
+    (void)arg;
+    ModelContext* m = model_new_2(0, "dict");
+    if (!m) return NULL;
+    float* w = (float*)model_add_weights_file(m, "float32", "w.bin", 6 * 4);
+    for (int i = 0; i < 6; i++) w[i] = 1.0f;
+    float* b = (float*)model_add_weights_file(m, "float32", "b.bin", 3 * 4);
+    for (int i = 0; i < 3; i++) b[i] = 0.5f;
+    model_read_string(m, MODEL_TXT);
+    unsigned int dims[2] = {2, 3};
+    float* x = (float*)model_add_tensor(m, "float32", "x", 2, dims);
+    for (int i = 0; i < 6; i++) x[i] = 4.0f;
+    model_run(m);
+    TensorResult* z = (TensorResult*)model_get_tensor(m, "z");
+    if (!z || z->data_num != 6) return NULL;
+    for (int i = 0; i < 6; i++) {
+        if (z->data[i] < 4.5f - 1e-5f || z->data[i] > 4.5f + 1e-5f) return NULL;
+    }
+    model_free_buffer(z);
+    model_delete(m);
+    return (void*)1;
+}
 
 int main(void) {
     /* model_new + model_delete: trivial lifecycle */
@@ -153,6 +177,18 @@ int main(void) {
     model_free_buffer(z2);
 
     model_delete(m);
+
+    /* cross-thread use: the ABI header promises any-thread callability.
+     * Py_InitializeEx leaves the FIRST thread holding the GIL; without the
+     * runtime's PyEval_SaveThread() release, this worker would deadlock in
+     * PyGILState_Ensure forever (the C# finalizer-thread scenario). */
+    pthread_t th;
+    int trc = pthread_create(&th, NULL, thread_worker, NULL);
+    CHECK(trc == 0, "pthread_create failed");
+    void* tres = NULL;
+    pthread_join(th, &tres);
+    CHECK(tres == (void*)1, "worker thread model run failed");
+
     printf("CAPI_C_SMOKE_OK\n");
     return 0;
 }

@@ -32,7 +32,7 @@ def test_c_client_compiles_links_and_runs(tmp_path):
     exe = str(tmp_path / "capi_smoke")
     # gcc, not g++: the smoke client is plain C, proving the ABI needs no C++
     cc = subprocess.run(
-        ["gcc", "-O1", "-Wall", "-Werror", SRC, "-o", exe,
+        ["gcc", "-O1", "-Wall", "-Werror", "-pthread", SRC, "-o", exe,
          f"-L{CSRC}", "-lonnxstream_tpu", f"-Wl,-rpath,{CSRC}"],
         capture_output=True, text=True, timeout=120,
     )

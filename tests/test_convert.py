@@ -173,3 +173,41 @@ def test_convert_dynamic_dim_errors_and_override(tmp_path):
         convert(data, str(tmp_path / "m1"))
     text = convert(data, str(tmp_path / "m2"), input_shapes={"x": (2, 3)})
     assert "y(2,5)" in text
+
+
+def test_shared_weight_divergent_transforms_fork_files(tmp_path):
+    """A weight consumed with DIFFERENT transforms must not overwrite one
+    .bin with conflicting contents (round-5 review find): quantize turns an
+    eligible consumer's ref uint8 while an excluded consumer (Gemm bias,
+    input 2) keeps fp32 — the two refs must point at DIFFERENT files, each
+    with its own bytes."""
+    import os
+
+    s = np.arange(3, dtype=np.float32) + 0.25
+    k = (np.arange(9, dtype=np.float32).reshape(3, 3, 1, 1) / 10.0)
+    nodes = [
+        # eligible: Mul input 1 is quantized under quantize=True
+        encode_node("Mul", ["x2", "s"], ["m0"], name="m"),
+        # excluded: Conv input 2 (bias) stays fp32 (_QUANT_EXCLUDED)
+        encode_node("Conv", ["x", "k", "s"], ["z"], name="c",
+                    kernel_shape=[1, 1]),
+    ]
+    data = encode_model(
+        nodes, inputs=[("x", (1, 3, 4, 4)), ("x2", (2, 3))],
+        outputs=[("z", (1, 3, 4, 4)), ("m0", (2, 3))],
+        initializers={"s": s, "k": k})
+    d = str(tmp_path / "m")
+    txt = convert(data, d, quantize=True)
+    refs = [tok for line in txt.splitlines()
+            for tok in line.split("*")[1].split(";") if ".bin" in tok]
+    by_file = {}
+    for r in refs:
+        fn, spec = r.split("(", 1)
+        by_file.setdefault(fn, set()).add(spec.split(":")[0])
+        assert os.path.exists(os.path.join(d, fn)), fn
+    # every file is referenced under exactly ONE dtype, and the uint8 and
+    # fp32 views of `s` ended up in distinct files
+    for fn, dtypes in by_file.items():
+        assert len(dtypes) == 1, (fn, dtypes)
+    s_files = [fn for fn in by_file if fn.startswith("s")]
+    assert len(s_files) == 2, (s_files, by_file)

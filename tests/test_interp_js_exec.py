@@ -117,6 +117,12 @@ def test_engine_executes_real_interp_js_tensor_ops():
                           g.weight("en", np.array([7], np.int64)),
                           g.weight("ax", np.array([2], np.int64))],
                 [(2, 3, 6)], name="sl")
+    # Slice input 4 (steps): reverse — old interp.js silently step-1'd it
+    sl = g.emit("Slice", [sl, g.weight("st2", np.array([5], np.int64)),
+                          g.weight("en2", np.array([-(2 ** 50)], np.int64)),
+                          g.weight("ax2", np.array([2], np.int64)),
+                          g.weight("sp2", np.array([-1], np.int64))],
+                [(2, 3, 6)], name="slrev")
     s1, s2 = g.emit("Split", [sl], [(2, 3, 3), (2, 3, 3)],
                     {"axis": "2", "split": "3,3"},
                     name="sp", out_names=["sp_a", "sp_b"])

@@ -166,41 +166,66 @@ def op_transpose(x, perm):
     return out.reshape(out_shape)
 
 
-def op_slice(x, starts, ends, axes):
+def op_slice(x, starts, ends, axes, steps=None):
     n = x.ndim
     st = [0] * n
     en = list(x.shape)
+    sp = [1] * n
     for i in range(len(starts)):
         ax = axes[i] if axes is not None else i
         if ax < 0:
             ax += n
         d = x.shape[ax]
+        step = steps[i] if steps is not None else 1
+        if step == 0:
+            raise ValueError("Slice: step 0")
         s, e = starts[i], ends[i]
         if s < 0:
             s += d
         if e < 0:
             e += d
-        st[ax] = min(max(s, 0), d)
-        en[ax] = min(max(e, 0), d)
-    out_shape = [max(en[i] - st[i], 0) for i in range(n)]
+        if step > 0:
+            st[ax] = min(max(s, 0), d)
+            en[ax] = min(max(e, 0), d)
+        else:
+            st[ax] = min(max(s, 0), d - 1)
+            raw_e = ends[i]
+            en[ax] = min(max(-1 if (raw_e < 0 and raw_e + d < 0) else e, -1), d - 1)
+        sp[ax] = step
+    out_shape = [max(-(-(en[i] - st[i]) // sp[i]) if sp[i] > 0
+                     else max(int(np.ceil((en[i] - st[i]) / sp[i])), 0), 0)
+                 for i in range(n)]
     in_st = row_strides(list(x.shape))
     total = int(np.prod(out_shape))
     out = np.empty(total, x.dtype)
     xd = x.ravel()
+    if total == 0:
+        return out.reshape(out_shape)
+    if all(v == 1 for v in sp):
+        idx = [0] * n
+        base = sum(s * in_st[i] for i, s in enumerate(st))
+        last_len = out_shape[n - 1]
+        o = 0
+        while o < total:
+            out[o:o + last_len] = xd[base:base + last_len]
+            for d in range(n - 2, -1, -1):
+                idx[d] += 1
+                base += in_st[d]
+                if idx[d] < out_shape[d]:
+                    break
+                idx[d] = 0
+                base -= out_shape[d] * in_st[d]
+            o += last_len
+        return out.reshape(out_shape)
     idx = [0] * n
-    base = sum(s * in_st[i] for i, s in enumerate(st))
-    last_len = out_shape[n - 1]
-    o = 0
-    while o < total:
-        out[o:o + last_len] = xd[base:base + last_len]
-        for d in range(n - 2, -1, -1):
+    for o in range(total):
+        base = sum((st[d] + idx[d] * sp[d]) * in_st[d] for d in range(n))
+        out[o] = xd[base]
+        for d in range(n - 1, -1, -1):
             idx[d] += 1
-            base += in_st[d]
             if idx[d] < out_shape[d]:
                 break
             idx[d] = 0
-            base -= out_shape[d] * in_st[d]
-        o += last_len
     return out.reshape(out_shape)
 
 
@@ -335,6 +360,22 @@ def test_slice_twin(shape, starts, ends, axes, expect):
     rng = np.random.RandomState(4)
     x = rng.randn(*shape).astype(np.float32)
     np.testing.assert_array_equal(op_slice(x, starts, ends, axes), x[expect])
+
+
+@pytest.mark.parametrize("shape,starts,ends,axes,steps,expect", [
+    ((7,), [-1], [-(2 ** 50)], None, [-1], np.s_[::-1]),     # full reverse
+    ((7,), [5], [1], None, [-1], np.s_[5:1:-1]),
+    ((2, 8), [0], [8], [1], [2], np.s_[:, 0:8:2]),
+    ((2, 8), [7], [-(2 ** 50)], [1], [-2], np.s_[:, 7::-2]),
+    ((3, 4), [2, 3], [-(2 ** 50), -(2 ** 50)], [0, 1], [-1, -2],
+     np.s_[2::-1, 3::-2]),
+])
+def test_slice_steps_twin(shape, starts, ends, axes, steps, expect):
+    """opSlice steps (input 4): reverse and strided slices — the old JS
+    silently computed a step-1 slice (round-5 review find)."""
+    rng = np.random.RandomState(4)
+    x = rng.randn(*shape).astype(np.float32)
+    np.testing.assert_array_equal(op_slice(x, starts, ends, axes, steps), x[expect])
 
 
 def test_resize_nearest_twin():
@@ -625,7 +666,7 @@ JS_TWIN_HASHES = {
     "opGather": "73efaeb6a6012fe6",
     "opScatterND": "f6318fd42c1583ec",
     "opTranspose": "28cc097dfdb8a001",
-    "opSlice": "b5efc7acbcdbc9a5",
+    "opSlice": "3bfd1703a3d7e4c0",
     "opResizeNearest": "038257ef722f17bf",
     "opSoftmax": "8ab6656429169dc5",
 }
