@@ -886,8 +886,14 @@ def supervisor_main() -> None:
         if not killed:
             # the child exited on its own: its final line is the record
             st["done"] = True
+            lj = st["last_json"] or {}
             if proc.returncode != 0:
                 _emit_final(f"child exited rc={proc.returncode}")
+            elif "provisional" in lj or not lj:
+                # rc=0 but nothing beyond the provisional line ever printed —
+                # still guarantee a self-explaining last line
+                _emit_final(
+                    f"child exited rc=0 without a record at stage '{st['stage']}'")
             elif st["kills"]:
                 # note the earlier retries on the child's final record
                 _emit_final(
