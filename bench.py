@@ -300,7 +300,9 @@ def _time_unet_session(s, inputs, n_iter: int = 100):
 
 def _batch_measure(batch: int = 4, n_iter: int = 50) -> dict:
     """UNet step at batch N: the throughput story (reference batch replay,
-    src/onnxstream.cpp:3817-3847). imgs/s counts CFG pairs as 2 images."""
+    src/onnxstream.cpp:3817-3847). imgs_per_s counts each batch item once
+    (plain forwards; no CFG pairing in this harness — a CFG pipeline at the
+    same batch does half as many image-steps per second)."""
     _, s, inputs = _build_session(batch=batch)
     dt_ms, _ = _time_unet_session(s, inputs, n_iter=n_iter)
     s.close()
@@ -313,6 +315,13 @@ def _batch_measure(batch: int = 4, n_iter: int = 50) -> dict:
 
 def streamed_child() -> None:
     """CLI entry (`bench.py --streamed-child`): standalone streamed run."""
+    import jax
+
+    # honor JAX_PLATFORMS for CPU smokes (sitecustomize pre-registers the
+    # axon plugin; env var alone is too late — same pattern as device_main)
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     print(json.dumps(_streamed_measure(
         float(os.environ.get("OSTPU_STREAM_BUDGET_S", "240")))))
 
@@ -349,12 +358,14 @@ def _streamed_measure(wall_budget: float) -> dict:
     # slow-link hour AND exercises the actual double buffer (k=1 degenerates
     # to a plain upload), with peak HBM bounded by ~2 segment budgets instead
     # of the 1779 MB resident footprint.
-    from onnxstream_tpu.models.sd.unet import build_unet, SD15
+    from onnxstream_tpu.models.sd.unet import build_unet, SD15, TINY
 
     approx_bytes = sum(
-        w.nbytes // 2 for w in build_unet(SD15, lazy_weights=True).weights.values()
+        w.nbytes // 2
+        for w in build_unet(TINY if _TINY else SD15,
+                            lazy_weights=True).weights.values()
     )
-    budget = approx_bytes // 8
+    budget = max(approx_bytes // 8, 1)
     g2, s2, inputs = _build_session(hbm_budget_bytes=budget)
     ex = s2._executor()
     segs = ex.segments
@@ -364,23 +375,30 @@ def _streamed_measure(wall_budget: float) -> dict:
     # child's two passes (timed stream + raw-link calibration) fit its wall
     # budget; the parent passes what's left of the bench budget. The cap env
     # stays as a hard upper bound.
-    # tiny warmup put first: the first transfer of the process pays the
-    # one-time backend/tunnel handshake, which would swamp the probe
-    np.asarray(jax.device_put(np.zeros((256,), np.float32))[:1])
-    probe = np.zeros((1 << 19,), np.float32)  # 2 MB: cheap even at 0.1 MB/s
-    tp = time.time()
-    np.asarray(jax.device_put(probe)[:1])
-    dt = time.time() - tp
-    if dt < 0.5:  # fast hour: refine with a 16 MB probe (RTT swamps 2 MB)
-        probe = np.zeros((1 << 22,), np.float32)
+    # in-process (bench child): _probe_link already measured this hour —
+    # re-probing would burn 16 MB of link for a number we have. Standalone
+    # (--streamed-child): probe here, paying the handshake first.
+    if _STATE["link_mbps"] is not None:
+        probe_mbps = float(_STATE["link_mbps"])
+    else:
+        # tiny warmup put first: the first transfer of the process pays the
+        # one-time backend/tunnel handshake, which would swamp the probe
+        np.asarray(jax.device_put(np.zeros((256,), np.float32))[:1])
+        probe = np.zeros((1 << 19,), np.float32)  # 2 MB: cheap even at 0.1 MB/s
         tp = time.time()
         np.asarray(jax.device_put(probe)[:1])
         dt = time.time() - tp
+        if dt < 0.5:  # fast hour: refine with a 16 MB probe (RTT swamps 2 MB)
+            probe = np.zeros((1 << 22,), np.float32)
+            tp = time.time()
+            np.asarray(jax.device_put(probe)[:1])
+            dt = time.time() - tp
+        probe_mbps = probe.nbytes / max(dt, 1e-9) / 1e6
     # 0.65 derate for SIZING: a one-shot probe rides TCP burst buffers and
     # over-reads the sustained rate (measured 62 burst vs 18.5 sustained
     # MB/s on 2026-08-19); undersizing the prefix is recoverable, a
     # watchdog-killed overshoot is not
-    link_bps = 0.65 * probe.nbytes / max(dt, 1e-9)
+    link_bps = 0.65 * probe_mbps * 1e6
     spent = time.time() - t0
     # 2.2x: timed pass + calibration pass + 10% slack; ~30 s reserved for
     # compile (persistent cache) + setup tail
@@ -400,6 +418,12 @@ def _streamed_measure(wall_budget: float) -> dict:
     while k < len(segs) and (k < 2 or acc + seg_bytes[k] <= cap):
         acc += seg_bytes[k]
         k += 1
+    if k < 2:
+        # a single-segment plan cannot exercise the double buffer (and the
+        # calibration loop below would have nothing to force)
+        s2.close()
+        return {"skipped": f"plan has {len(segs)} segment(s); streaming "
+                           "needs >= 2"}
     _smark(
         f"session built, link ~{link_bps / 1e6:.0f} MB/s, prefix {k}/{len(segs)} "
         f"segments, {acc / (1 << 20):.0f} MB"
@@ -662,18 +686,27 @@ def device_main() -> None:
         if budget <= 5:
             return {"skipped": "budget"}
 
+        state = {"finished": False}
+
         def _on_alarm(signum, frame):
-            raise TimeoutError(f"child soft-deadline after {budget:.0f}s")
+            # no-op once fn returned: the alarm can otherwise fire in the
+            # window between completion and alarm(0), discarding a finished
+            # measurement (or escaping from the finally block)
+            if not state["finished"]:
+                raise TimeoutError(f"child soft-deadline after {budget:.0f}s")
 
         prev = signal.signal(signal.SIGALRM, _on_alarm)
         signal.alarm(int(budget))
         try:
-            return fn(*args)
+            r = fn(*args)
+            state["finished"] = True
+            return r
         except TimeoutError as e:
             return {"skipped": str(e)}
         except Exception as e:
             return {"error": f"{type(e).__name__}: {e}"[:400]}
         finally:
+            state["finished"] = True
             signal.alarm(0)
             signal.signal(signal.SIGALRM, prev)
 
@@ -687,8 +720,16 @@ def device_main() -> None:
     # and the streamed child self-skips if the link can't carry its minimum
     # 2-segment prefix.
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
-    from measure import (llm_bench_result, sdxl_bench_result,
-                         whisper_bench_result, yolo_bench_result)
+    try:
+        from measure import (llm_bench_result, sdxl_bench_result,
+                             whisper_bench_result, yolo_bench_result)
+    except Exception as e:  # headline already printed; degrade, don't die
+        note = {"error": f"measure import failed: {type(e).__name__}: {e}"[:300]}
+        _STATE["children"] = {k: note for k in
+                              ("tinyllama", "whisper", "yolo", "sdxl")}
+        print(json.dumps(_best_known()), flush=True)
+        _STATE["done"] = True
+        return
 
     fast_link = link_mbps is not None and link_mbps >= 8.0
 
@@ -826,7 +867,11 @@ def supervisor_main() -> None:
         threading.Thread(target=_watchdog, daemon=True,
                          name="bench-supervisor-watchdog").start()
 
-    link_stages = ("link handshake", "link probe")
+    # every stage from spawn through the probe is "early": a stall there is
+    # a dead link/backend (jax import itself is bounded CPU work; backend
+    # INIT can block on the tunnel before any link mark prints)
+    link_stages = ("child spawned", "jax imported", "link handshake",
+                   "link probe")
     me = os.path.abspath(__file__)
     while True:
         st["attempts"] += 1

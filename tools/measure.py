@@ -7,8 +7,12 @@ completion (pipelines returning numpy images/latents/tokens force
 naturally); warmup/compile happens before the timed interval.
 
 Usage:
-    python tools/measure.py sd15 sdxl llm         # pick measurements
-    python tools/measure.py                       # all
+    python tools/measure.py sd15 sdxl tinyllama   # pick measurements
+    python tools/measure.py                       # default set (sd15, sdxl,
+                                                  # tinyllama, mistral)
+    selectors: sd15 sdxl sdxl-step whisper yolo tinyllama tinyllama-int8
+               tinyllama-bench mistral mistral-int8   (unknown -> error)
+    flags: --tiny (smoke shapes), --fast (short LLM decode)
 """
 
 import json
@@ -249,7 +253,8 @@ def whisper_bench_result() -> dict:
         decode_step_ms=round(step_ms, 2),
         decode_tok_s=round(1e3 / step_ms, 1),
         warm_tokens=len(toks),
-        params_m=round(sum(int(np.prod(w.shape)) for w in seg.weight_args) / 1e6, 0),
+        decoder_params_m=round(
+            sum(int(np.prod(w.shape)) for w in seg.weight_args) / 1e6, 0),
         weights="synthetic-device" if _synth() else "synthetic-host-upload",
     )
 
@@ -430,16 +435,36 @@ def measure_llm_bench(fast: bool = True) -> None:
     _emit(**llm_bench_result(fast=fast))
 
 
+KNOWN_SELECTORS = {
+    "sd15", "sdxl", "sdxl-step", "whisper", "yolo", "tinyllama-bench",
+    "tinyllama", "tinyllama-int8", "mistral", "mistral-int8",
+}
+
+
 def main() -> None:
     global TINY
     TINY = "--tiny" in sys.argv
     fast = "--fast" in sys.argv
+    import jax
+
+    # honor JAX_PLATFORMS for CPU smokes: sitecustomize registers the axon
+    # plugin before this script runs, so the env var alone is too late
+    # (same pattern as bench.py / ab_sdxl.py)
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     sel = set(a for a in sys.argv[1:] if not a.startswith("-")) or {
         "sd15",
         "sdxl",
         "tinyllama",
         "mistral",
     }
+    unknown = sel - KNOWN_SELECTORS
+    if unknown:
+        # a typo'd selector must not silently skip its measurement
+        print(f"error: unknown selector(s) {sorted(unknown)}; "
+              f"known: {sorted(KNOWN_SELECTORS)}", file=sys.stderr)
+        sys.exit(2)
     if "sd15" in sel:
         measure_sd15()
     if "sdxl" in sel:
