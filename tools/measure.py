@@ -239,14 +239,37 @@ def whisper_bench_result() -> dict:
     })
     out = cf(weights, acts)
     np.asarray(out[mangle("logits")])  # warm + force
+
+    # ONE jitted lax.scan chains the 32 decode steps ENTIRELY on device
+    # (KV carry fed back in-program): per-dispatch RPC enqueue over the
+    # tunnel measured 1.5-5.6 ms/step across hours on the old host loop —
+    # bigger than the step itself; the scan removes it, same discipline as
+    # the LLM child's decode scan. Token/offset stay fixed: dense decode
+    # timing is value-independent.
+    import jax
+    import jax.numpy as jnp
+
+    fn = ex._segment_fn(0)
+    kck, kcv = mangle("in_n_layer_self_k_cache"), mangle("in_n_layer_self_v_cache")
+    okk, okv = mangle("out_n_layer_self_k_cache"), mangle("out_n_layer_self_v_cache")
     m = 32
+
+    @jax.jit
+    def chain(w, a):
+        def step(carry, _):
+            kc, vc = carry
+            o = fn(w, {**a, kck: kc, kcv: vc})
+            return (o[okk], o[okv]), jnp.max(o[mangle("logits")])
+        carry, ys = jax.lax.scan(step, (a[kck], a[kcv]), None, length=m)
+        return ys[-1]
+
+    np.asarray(chain(weights, acts))  # compile + warm
+    outer = 4
     t0 = time.time()
-    for _ in range(m):
-        out = cf(weights, acts := {**acts,
-                 mangle("in_n_layer_self_k_cache"): out[mangle("out_n_layer_self_k_cache")],
-                 mangle("in_n_layer_self_v_cache"): out[mangle("out_n_layer_self_v_cache")]})
-    np.asarray(out[mangle("logits")])
-    step_ms = (time.time() - t0) / m * 1e3
+    for _ in range(outer):
+        last = chain(weights, acts)
+    np.asarray(last)  # one forcing readback for the whole 4 x 32 chain
+    step_ms = (time.time() - t0) / (outer * m) * 1e3
     return dict(
         metric="whisper_base_stt",
         encoder_ms=round(enc_ms, 1),
