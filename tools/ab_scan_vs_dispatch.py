@@ -80,12 +80,17 @@ def main() -> None:
     fn = ex._segment_fn(0)
     w2 = ex._fetch_segment_weights(seg, with_formats=False)
 
+    # carry dtype must match the body output (bf16 compute): same feedback
+    # signature as the dispatch loop's second warmup call
+    o0 = jax.eval_shape(lambda w_, a_: fn(w_, a_), w2, acts)["out_sample"]
+
     @jax.jit
     def chain(w, a0):
         def step(sample, _):
             o = fn(w, {**a0, "sample": sample})
             return o["out_sample"], jnp.float32(0)
-        out, _ = jax.lax.scan(step, a0["sample"], None, length=steps)
+        out, _ = jax.lax.scan(step, jnp.asarray(a0["sample"], o0.dtype),
+                              None, length=steps)
         return out
 
     print("# compiling scan...", file=sys.stderr, flush=True)
