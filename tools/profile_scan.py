@@ -28,8 +28,9 @@ def main():
     from onnxstream_tpu.models.sd.pipeline import StableDiffusionPipeline
 
     t0 = time.time()
+    xl = "--xl" in sys.argv
     pipe = StableDiffusionPipeline.from_synthetic(
-        tiny=False, compute_dtype="bfloat16", on_device=True)
+        tiny=False, xl=xl, compute_dtype="bfloat16", on_device=True)
     print(json.dumps({"stage": "build", "s": round(time.time() - t0, 1)}), flush=True)
 
     prompt = "a photo of an astronaut riding a horse on mars"
