@@ -167,6 +167,13 @@ def _array_prop(interp, arr: JSArray, name: str):
                 a.items[i] = v
             return a
         return _method(name, arr, _fill)
+    if name == "at":
+        def _at(a, args):
+            i = _int_arg(args, 0, 0)
+            if i < 0:
+                i += len(a.items)
+            return a.items[i] if 0 <= i < len(a.items) else UNDEF
+        return _method(name, arr, _at)
     if name == "indexOf":
         def _indexof(a, args):
             from .interp import strict_equals
@@ -308,6 +315,76 @@ def _substring(s: str, args) -> str:
     return s[a:b]
 
 
+def _get_substitution(match: str, s: str, pos: int, rep: str) -> str:
+    """Spec GetSubstitution for string patterns (no capture groups):
+    $$ -> $, $& -> match, $` -> before, $' -> after; lone $ passes through."""
+    out = []
+    i = 0
+    while i < len(rep):
+        c = rep[i]
+        if c == "$" and i + 1 < len(rep):
+            n = rep[i + 1]
+            if n == "$":
+                out.append("$"); i += 2; continue
+            if n == "&":
+                out.append(match); i += 2; continue
+            if n == "`":
+                out.append(s[:pos]); i += 2; continue
+            if n == "'":
+                out.append(s[pos + len(match):]); i += 2; continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _js_replace(interp, s: str, args, all_occurrences: bool) -> str:
+    pat = js_to_string(_arg(args, 0, ""))
+    rep = _arg(args, 1, UNDEF)
+    rep_is_fn = js_typeof(rep) == "function"
+    out = []
+    i = 0
+    while True:
+        j = s.find(pat, i) if pat else (i if i <= len(s) else -1)
+        if j == -1:
+            out.append(s[i:])
+            return "".join(out)
+        out.append(s[i:j])
+        if rep_is_fn:
+            out.append(js_to_string(interp.call(rep, UNDEF, [pat, float(j), s])))
+        else:
+            out.append(_get_substitution(pat, s, j, js_to_string(rep)))
+        i = j + len(pat) if pat else j + 1
+        if not all_occurrences:
+            out.append(s[i:])
+            return "".join(out)
+        if not pat and j >= len(s):
+            return "".join(out)
+
+
+def _js_to_precision(n: float, p: int) -> str:
+    """Spec Number.prototype.toPrecision (21.1.3.5): exponential when the
+    decimal exponent e < -6 or e >= p, else fixed with p-1-e fraction
+    digits; exponent rendered without a leading zero."""
+    if n != n:
+        return "NaN"
+    if n in (float("inf"), float("-inf")):
+        return num_to_str(n)
+    if p < 1 or p > 100:
+        raise JSThrow(JSObject({"name": "RangeError",
+                                "message": "toPrecision() argument must be between 1 and 100"}))
+    if n == 0:
+        return f"{0.0:.{p - 1}f}"
+    e = math.floor(math.log10(abs(n)))
+    # rounding at p significant digits can bump the exponent (9.99 -> 10)
+    scaled = round(abs(n) / (10.0 ** e), p - 1)
+    if scaled >= 10.0:
+        e += 1
+    if e < -6 or e >= p:
+        mant = f"{n / (10.0 ** e):.{p - 1}f}"
+        return f"{mant}e{'+' if e >= 0 else '-'}{abs(e)}"
+    return f"{n:.{max(p - 1 - e, 0)}f}"
+
+
 def _string_prop(interp, s: str, name: str):
     if name == "length":
         return float(len(s))
@@ -335,10 +412,11 @@ def _string_prop(interp, s: str, name: str):
         "repeat": lambda s, args: s * _int_arg(args, 0, 0),
         "padStart": lambda s, args: _pad(s, args, left=True),
         "padEnd": lambda s, args: _pad(s, args, left=False),
-        "replace": lambda s, args: s.replace(js_to_string(args[0]),
-                                             js_to_string(args[1]), 1),
-        "replaceAll": lambda s, args: s.replace(js_to_string(args[0]),
-                                                js_to_string(args[1])),
+        # spec GetSubstitution ($$/$&/$`/$') + function replacements
+        "replace": lambda s, args: _js_replace(interp, s, args, False),
+        "replaceAll": lambda s, args: _js_replace(interp, s, args, True),
+        "at": lambda s, args: (s[i] if -len(s) <= (i := _int_arg(args, 0, 0)) < len(s)
+                               else UNDEF),
         # substring clamps to [0, len] and SWAPS out-of-order args — slice
         # semantics (negatives from the end) are wrong here:
         # 'abc'.substring(2, 0) is 'ab'
@@ -593,6 +671,10 @@ def get_prop(interp, obj, name: str):
         if name == "toFixed":
             return _method(name, obj, lambda n, args:
                            f"{n:.{_int_arg(args, 0, 0)}f}")
+        if name == "toPrecision":
+            return _method(name, obj, lambda n, args:
+                           num_to_str(n) if _arg(args, 0) is UNDEF
+                           else _js_to_precision(n, _int_arg(args, 0, 0)))
         if name == "toString":
             return _method(name, obj, lambda n, args: num_to_str(n))
         return UNDEF
