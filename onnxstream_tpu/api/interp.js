@@ -472,7 +472,8 @@ function opSplit(x, sizes, axis) {
     return sizes.map(sz => {
         const shape = x.shape.slice(); shape[axis] = sz;
         const rowOut = sz * inner;
-        const out = new Float32Array(outer * rowOut);
+        const out = x.dtype === "int64" ? new Float64Array(outer * rowOut)
+                                        : new Float32Array(outer * rowOut);
         for (let o = 0; o < outer; o++)
             out.set(x.data.subarray(o * rowIn + off, o * rowIn + off + rowOut), o * rowOut);
         off += rowOut;
@@ -631,7 +632,7 @@ class InterpModel {
         for (const raw of text.split("\n")) {
             lineno++;
             const line = raw.trim();
-            if (!line) continue;
+            if (!line || line.startsWith("#")) continue;  // ir.py parity
             this.ops.push(parseOpLine(line, lineno));
         }
     }

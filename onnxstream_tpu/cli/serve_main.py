@@ -31,7 +31,7 @@ import re
 import struct
 import sys
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import parse_qs, urlparse
+from urllib.parse import parse_qs, unquote, urlparse
 
 import numpy as np
 
@@ -72,9 +72,14 @@ def make_handler(allow_origin: str | None = None, allow_read_file: bool = False)
             q = {k: v[0] for k, v in parse_qs(u.query).items()}
             m = re.match(r"^/models(?:/(\d+))?(?:/([a-z_]+))?(?:/(.+))?$", u.path)
             if not m:
-                return None, None, None, q
+                # sentinel distinct from the create route ('POST /models'):
+                # unmatched paths must 404, not mint a model handle
+                return None, "__bad__", None, q
             h = int(m.group(1)) if m.group(1) else None
-            return h, m.group(2), m.group(3), q
+            # client.js encodeURIComponent-encodes tensor/weight names (raw
+            # ONNX names contain '/', ':', '%'): decode before use
+            arg = unquote(m.group(3)) if m.group(3) else m.group(3)
+            return h, m.group(2), arg, q
 
         def do_POST(self):
             h, action, arg, q = self._route()

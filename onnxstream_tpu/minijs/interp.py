@@ -128,7 +128,9 @@ class Interp:
             _, _kw, pat, iter_e, body = st
             for v in runtime.js_iter(self.eval(iter_e, scope, this)):
                 s2 = Scope(scope)
-                self.bind_pattern(pat, v, s2, this, declare=True)
+                # kw None = non-declaration LHS (`for (k of xs)` with outer
+                # k): assign the existing binding, so it survives the loop
+                self.bind_pattern(pat, v, s2, this, declare=_kw is not None)
                 try:
                     self.exec_stmt(body, s2, this)
                 except BreakEx:
@@ -143,7 +145,7 @@ class Interp:
                     if isinstance(obj, JSArray) else [])
             for k in keys:
                 s2 = Scope(scope)
-                self.bind_pattern(pat, k, s2, this, declare=True)
+                self.bind_pattern(pat, k, s2, this, declare=_kw is not None)
                 try:
                     self.exec_stmt(body, s2, this)
                 except BreakEx:
@@ -643,6 +645,10 @@ class Interp:
                                                 "message": "division by zero"}))
                     m = abs(l) % abs(r)
                     return m if l >= 0 else -m
+                if op == "**" and r < 0:
+                    raise JSThrow(JSObject({
+                        "name": "RangeError",
+                        "message": "Exponent must be non-negative"}))
                 return l ** r
             if lbig or rbig:
                 raise JSThrow(_type_error("cannot mix BigInt and other types"))
@@ -697,9 +703,9 @@ class Interp:
                 if op == "^":
                     return l ^ r
                 if op == "<<":
-                    return l << r
+                    return l << r if r >= 0 else l >> -r
                 if op == ">>":
-                    return l >> r
+                    return l >> r if r >= 0 else l << -r
                 raise JSThrow(_type_error("BigInts have no unsigned shift"))
             a = to_int32(js_to_number(l))
             if op == ">>>":

@@ -265,6 +265,14 @@ class Parser:
                 init = decl
             else:
                 e = self.parse_expression()
+                # `for (k in obj)` with an already-declared k: the expression
+                # parser consumed `k in obj` as the binary 'in' operator —
+                # recover the for-in form from the AST shape
+                if (isinstance(e, tuple) and e[0] == "binary" and e[1] == "in"
+                        and self.at("punct", ")")):
+                    self.next()
+                    pat = self._expr_to_pattern(e[2])
+                    return ("forin", None, pat, e[3], self.parse_statement())
                 if self.at("ident", "of") or self.at("ident", "in"):
                     word = self.next().value
                     it = self.parse_expression()

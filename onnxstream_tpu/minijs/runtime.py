@@ -353,12 +353,31 @@ def _js_replace(interp, s: str, args, all_occurrences: bool) -> str:
             out.append(js_to_string(interp.call(rep, UNDEF, [pat, float(j), s])))
         else:
             out.append(_get_substitution(pat, s, j, js_to_string(rep)))
-        i = j + len(pat) if pat else j + 1
+        if pat:
+            i = j + len(pat)
+        else:
+            # zero-length match: the char at j is NOT part of the match —
+            # emit it and advance ('abc'.replaceAll('', '-') == '-a-b-c-')
+            if j < len(s):
+                out.append(s[j])
+            i = j + 1
         if not all_occurrences:
             out.append(s[i:])
             return "".join(out)
         if not pat and j >= len(s):
             return "".join(out)
+
+
+def _js_fixed(n: float, f: int) -> str:
+    """Fixed-point per spec ToFixed: ties on the EXACT binary double pick
+    the larger candidate after sign extraction (half-away-from-zero), not
+    Python's half-even — (0.125).toFixed(2) is '0.13' in every browser."""
+    import decimal
+
+    sign = "-" if (n < 0 or (n == 0 and math.copysign(1.0, n) < 0)) else ""
+    d = decimal.Decimal(abs(n)).quantize(
+        decimal.Decimal(1).scaleb(-f), rounding=decimal.ROUND_HALF_UP)
+    return sign + f"{d:.{f}f}"
 
 
 def _js_to_precision(n: float, p: int) -> str:
@@ -380,9 +399,9 @@ def _js_to_precision(n: float, p: int) -> str:
     if scaled >= 10.0:
         e += 1
     if e < -6 or e >= p:
-        mant = f"{n / (10.0 ** e):.{p - 1}f}"
+        mant = _js_fixed(n / (10.0 ** e), p - 1)
         return f"{mant}e{'+' if e >= 0 else '-'}{abs(e)}"
-    return f"{n:.{max(p - 1 - e, 0)}f}"
+    return _js_fixed(n, max(p - 1 - e, 0))
 
 
 def _string_prop(interp, s: str, name: str):
@@ -670,7 +689,7 @@ def get_prop(interp, obj, name: str):
     if isinstance(obj, float):
         if name == "toFixed":
             return _method(name, obj, lambda n, args:
-                           f"{n:.{_int_arg(args, 0, 0)}f}")
+                           _js_fixed(n, _int_arg(args, 0, 0)))
         if name == "toPrecision":
             return _method(name, obj, lambda n, args:
                            num_to_str(n) if _arg(args, 0) is UNDEF
@@ -768,8 +787,14 @@ def native_instanceof(l, ctor: NativeFunction) -> bool:
     n = ctor.name
     if n == "Array":
         return isinstance(l, JSArray)
-    if n in ("Error", "TypeError", "RangeError"):
-        return isinstance(l, JSObject) and "message" in l.props
+    if n == "Error":
+        # all error species are instanceof Error (prototype chain analog)
+        return (isinstance(l, JSObject) and "message" in l.props
+                and str(l.props.get("name", "")).endswith("Error"))
+    if n in ("TypeError", "RangeError", "SyntaxError", "ReferenceError"):
+        # exact species: new RangeError() is NOT instanceof TypeError
+        return (isinstance(l, JSObject) and "message" in l.props
+                and l.props.get("name") == n)
     if n == "Map":
         return isinstance(l, JSMap)
     if n == "Set":

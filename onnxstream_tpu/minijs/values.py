@@ -448,7 +448,11 @@ def js_to_number(v) -> float:
 
 def js_pow(a: float, b: float) -> float:
     """JS exponentiation: negative base with fractional exponent is NaN (not
-    complex), overflow saturates to +/-Infinity, NaN**0 is 1."""
+    complex), overflow saturates to +/-Infinity, NaN**0 is 1. Spec edge
+    numpy misses: |base| == 1 with an infinite exponent is NaN (IEEE pow
+    says 1; ES Number::exponentiate says NaN)."""
+    if abs(a) == 1.0 and (b == float("inf") or b == float("-inf")):
+        return float("nan")
     with np.errstate(all="ignore"):
         return float(np.power(np.float64(a), np.float64(b)))
 
