@@ -48,11 +48,13 @@ class _OptShortCircuit(Exception):
 
 
 class BreakEx(Exception):
-    pass
+    def __init__(self, label=None):
+        self.label = label
 
 
 class ContinueEx(Exception):
-    pass
+    def __init__(self, label=None):
+        self.label = label
 
 
 class ReturnEx(Exception):
@@ -75,7 +77,9 @@ class Interp:
         for st in stmts:
             self.exec_stmt(st, scope, this)
 
-    def exec_stmt(self, st: tuple, scope: Scope, this) -> None:
+    def exec_stmt(self, st: tuple, scope: Scope, this, label=None) -> None:
+        # `label` is the name of the LabelledStatement directly wrapping this
+        # statement (loops use it to match labeled break/continue)
         kind = st[0]
         if kind == "expr":
             self.eval(st[1], scope, this)
@@ -116,10 +120,13 @@ class Interp:
                     break
                 try:
                     self.exec_stmt(body, Scope(env), this)
-                except BreakEx:
+                except BreakEx as e:
+                    if e.label not in (None, label):
+                        raise
                     break
-                except ContinueEx:
-                    pass
+                except ContinueEx as e:
+                    if e.label not in (None, label):
+                        raise
                 if per_iter:
                     env = _copy(env)
                 if update is not None:
@@ -133,10 +140,13 @@ class Interp:
                 self.bind_pattern(pat, v, s2, this, declare=_kw is not None)
                 try:
                     self.exec_stmt(body, s2, this)
-                except BreakEx:
+                except BreakEx as e:
+                    if e.label not in (None, label):
+                        raise
                     break
-                except ContinueEx:
-                    continue
+                except ContinueEx as e:
+                    if e.label not in (None, label):
+                        raise
         elif kind == "forin":
             _, _kw, pat, obj_e, body = st
             obj = self.eval(obj_e, scope, this)
@@ -148,34 +158,51 @@ class Interp:
                 self.bind_pattern(pat, k, s2, this, declare=_kw is not None)
                 try:
                     self.exec_stmt(body, s2, this)
-                except BreakEx:
+                except BreakEx as e:
+                    if e.label not in (None, label):
+                        raise
                     break
-                except ContinueEx:
-                    continue
+                except ContinueEx as e:
+                    if e.label not in (None, label):
+                        raise
         elif kind == "while":
             while js_truthy(self.eval(st[1], scope, this)):
                 try:
                     self.exec_stmt(st[2], Scope(scope), this)
-                except BreakEx:
+                except BreakEx as e:
+                    if e.label not in (None, label):
+                        raise
                     break
-                except ContinueEx:
-                    continue
+                except ContinueEx as e:
+                    if e.label not in (None, label):
+                        raise
         elif kind == "dowhile":
             while True:
                 try:
                     self.exec_stmt(st[1], Scope(scope), this)
-                except BreakEx:
+                except BreakEx as e:
+                    if e.label not in (None, label):
+                        raise
                     break
-                except ContinueEx:
-                    pass
+                except ContinueEx as e:
+                    if e.label not in (None, label):
+                        raise
                 if not js_truthy(self.eval(st[2], scope, this)):
                     break
         elif kind == "return":
             raise ReturnEx(self.eval(st[1], scope, this) if st[1] is not None else UNDEF)
         elif kind == "break":
-            raise BreakEx()
+            raise BreakEx(st[1] if len(st) > 1 else None)
         elif kind == "continue":
-            raise ContinueEx()
+            raise ContinueEx(st[1] if len(st) > 1 else None)
+        elif kind == "label":
+            # break <name> targeting a labeled NON-loop (or the loop itself)
+            # unwinds to here; continue <name> is consumed by the loop
+            try:
+                self.exec_stmt(st[2], scope, this, label=st[1])
+            except BreakEx as e:
+                if e.label != st[1]:
+                    raise
         elif kind == "throw":
             raise JSThrow(self.eval(st[1], scope, this))
         elif kind == "try":

@@ -151,13 +151,11 @@ class Lexer:
                         while j < self.n and s[j] != q:
                             j += 2 if s[j] == "\\" else 1
                     elif cj == "`":
-                        # nested template: balance backticks naively (no
-                        # nested ${`...`} in our subset, enforced here)
-                        j += 1
-                        while j < self.n and s[j] != "`":
-                            if s[j] == "$" and s[j + 1] == "{":
-                                raise self.error("nested template expressions unsupported")
-                            j += 2 if s[j] == "\\" else 1
+                        # nested template: skip it whole, including its own
+                        # ${...} holes (recursive raw scan); the expression
+                        # substring re-tokenizes through the normal path, so
+                        # arbitrary nesting parses
+                        j = self._skip_template_raw(j) - 1
                     elif cj == "\n":
                         self.line += 1
                     j += 1
@@ -170,6 +168,43 @@ class Lexer:
                 self.line += 1
             buf.append(c)
             self.i += 1
+        raise self.error("unterminated template literal")
+
+    def _skip_template_raw(self, j: int) -> int:
+        """Raw scan: `j` at a backtick; return the index just past the
+        template's closing backtick, skipping escapes, quoted strings inside
+        holes, and recursively nested templates."""
+        s = self.src
+        j += 1
+        while j < self.n:
+            c = s[j]
+            if c == "\\":
+                j += 2
+                continue
+            if c == "`":
+                return j + 1
+            if c == "$" and j + 1 < self.n and s[j + 1] == "{":
+                depth = 1
+                j += 2
+                while j < self.n and depth:
+                    cj = s[j]
+                    if cj == "\\":
+                        j += 2
+                        continue
+                    if cj == "{":
+                        depth += 1
+                    elif cj == "}":
+                        depth -= 1
+                    elif cj in "'\"":
+                        q = cj
+                        j += 1
+                        while j < self.n and s[j] != q:
+                            j += 2 if s[j] == "\\" else 1
+                    elif cj == "`":
+                        j = self._skip_template_raw(j) - 1
+                    j += 1
+                continue
+            j += 1
         raise self.error("unterminated template literal")
 
     def _number(self) -> Token:

@@ -133,10 +133,22 @@ class Parser:
                 return ("return", e)
             if v == "break":
                 self.next()
+                nt = self.peek()
+                if (nt.kind == "ident" and not nt.nl_before
+                        and nt.value not in KEYWORDS):
+                    self.next()
+                    self._semi()
+                    return ("break", nt.value)
                 self._semi()
                 return ("break",)
             if v == "continue":
                 self.next()
+                nt = self.peek()
+                if (nt.kind == "ident" and not nt.nl_before
+                        and nt.value not in KEYWORDS):
+                    self.next()
+                    self._semi()
+                    return ("continue", nt.value)
                 self._semi()
                 return ("continue",)
             if v == "throw":
@@ -148,6 +160,11 @@ class Parser:
                 return self.parse_try()
             if v == "switch":
                 return self.parse_switch()
+            # labeled statement: `name: stmt` (spec LabelledStatement)
+            if (v not in KEYWORDS and self.at("punct", ":", 1)):
+                self.next()
+                self.next()
+                return ("label", v, self.parse_statement())
         e = self.parse_expression()
         self._semi()
         return ("expr", e)
