@@ -403,6 +403,8 @@ class Interp:
                     items.append(self.eval(el, scope, this))
             return JSArray(items)
         if kind == "obj":
+            from .values import JSAccessor
+
             obj = JSObject()
             for p in e[1]:
                 if p[0] == "prop":
@@ -410,10 +412,23 @@ class Interp:
                 elif p[0] == "computed":
                     k = js_to_string(self.eval(p[1], scope, this))
                     obj.props[k] = self.eval(p[2], scope, this)
-                else:  # spread
+                elif p[0] in ("getter", "setter"):
+                    fn = self.eval(p[2], scope, this)
+                    cur = obj.props.get(p[1])
+                    if not isinstance(cur, JSAccessor):
+                        cur = JSAccessor()
+                    if p[0] == "getter":
+                        cur.get_fn = fn
+                    else:
+                        cur.set_fn = fn
+                    obj.props[p[1]] = cur
+                else:  # spread: copies VALUES (spec CopyDataProperties
+                    # invokes getters; the copy is a plain data property)
                     src = self.eval(p[1], scope, this)
                     if isinstance(src, JSObject):
-                        obj.props.update(src.props)
+                        for k in list(src.props):
+                            obj.props[k] = runtime.resolve_prop_value(
+                                self, src, k, src.props[k])
             return obj
         if kind == "func":
             _, name, params, body, is_async = e

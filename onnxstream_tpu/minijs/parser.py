@@ -618,6 +618,18 @@ class Parser:
             elif t.kind == "ident":
                 self.next()
                 key = t.value
+                # accessor: `get name() {...}` / `set name(v) {...}`
+                if key in ("get", "set") and (
+                        self.at("ident") or self.at("str") or self.at("num")):
+                    kt = self.next()
+                    aname = kt.value if kt.kind != "num" else _numkey(kt.value)
+                    params = self.parse_params()
+                    body = self.parse_block()
+                    props.append((key + "ter", aname,
+                                  ("func", aname, params, body, False)))
+                    if not self.eat("punct", ","):
+                        break
+                    continue
             elif self.at("punct", "["):
                 self.next()
                 keyexpr = self.parse_assignment()

@@ -13,9 +13,10 @@ import numpy as np
 
 from .errors import MiniJsError, JSThrow
 from .values import (
-    NULL, UNDEF, JSArray, JSBoundMethod, JSClass, JSFunction, JSMap, JSObject,
-    JSPromise, JSSet, JSTypedArray, NativeFunction, _TA_KINDS, js_to_number,
-    js_to_string, js_truthy, js_typeof, num_to_str, _type_error,
+    NULL, UNDEF, JSAccessor, JSArray, JSBoundMethod, JSClass, JSFunction,
+    JSMap, JSObject, JSPromise, JSSet, JSTypedArray, NativeFunction,
+    _TA_KINDS, js_to_number, js_to_string, js_truthy, js_typeof, num_to_str,
+    _type_error,
 )
 
 
@@ -598,13 +599,23 @@ def _set_prop_(interp, s: JSSet, name: str):
 
 # ------------------------------------------------------------ dispatch
 
+def resolve_prop_value(interp, obj, name: str, v):
+    """Accessor-aware property READ: a JSAccessor value invokes its getter
+    with `obj` as this (undefined when there is no getter)."""
+    if isinstance(v, JSAccessor):
+        if v.get_fn is None:
+            return UNDEF
+        return interp.call(v.get_fn, obj, [])
+    return v
+
+
 def get_prop(interp, obj, name: str):
     if obj is UNDEF or obj is NULL:
         raise JSThrow(_type_error(
             f"cannot read properties of {js_to_string(obj)} (reading '{name}')"))
     if isinstance(obj, JSObject):
         if name in obj.props:
-            return obj.props[name]
+            return resolve_prop_value(interp, obj, name, obj.props[name])
         if obj.klass is not None and name in obj.klass.methods:
             return JSBoundMethod(obj.klass.methods[name], obj)
         if name == "constructor":
@@ -723,6 +734,11 @@ def get_index(interp, obj, idx):
 
 def set_prop(interp, obj, name: str, value):
     if isinstance(obj, JSObject):
+        cur = obj.props.get(name)
+        if isinstance(cur, JSAccessor):
+            if cur.set_fn is not None:
+                interp.call(cur.set_fn, obj, [value])
+            return  # getter-only: silent no-op (non-strict semantics)
         obj.props[name] = value
         return
     if isinstance(obj, JSArray):
@@ -992,15 +1008,20 @@ def make_globals(engine) -> dict:
             _ordered_keys(_arg(a, 0).props)
             if isinstance(_arg(a, 0), JSObject) else [])),
         "values": NativeFunction("values", lambda t, a: JSArray(
-            [_arg(a, 0).props[k] for k in _ordered_keys(_arg(a, 0).props)]
+            [resolve_prop_value(engine.interp, _arg(a, 0), k,
+                                _arg(a, 0).props[k])
+             for k in _ordered_keys(_arg(a, 0).props)]
             if isinstance(_arg(a, 0), JSObject) else [])),
         "entries": NativeFunction("entries", lambda t, a: JSArray(
-            [JSArray([k, _arg(a, 0).props[k]])
+            [JSArray([k, resolve_prop_value(engine.interp, _arg(a, 0), k,
+                                            _arg(a, 0).props[k])])
              for k in _ordered_keys(_arg(a, 0).props)]
             if isinstance(_arg(a, 0), JSObject) else [])),
         "assign": NativeFunction("assign", lambda t, a: (
-            [a[0].props.update(s.props) for s in a[1:]
-             if isinstance(s, JSObject)], a[0])[1]),
+            [a[0].props.update(
+                {k: resolve_prop_value(engine.interp, s, k, s.props[k])
+                 for k in s.props})
+             for s in a[1:] if isinstance(s, JSObject)], a[0])[1]),
         "freeze": NativeFunction("freeze", lambda t, a: _arg(a, 0)),
     }
     g["Object"] = obj_ctor
@@ -1156,7 +1177,7 @@ def make_globals(engine) -> dict:
         # undefined, not the string "null"
         if v is UNDEF or js_typeof(v) == "function":
             return UNDEF
-        return _to_json(v)
+        return _to_json(v, engine.interp)
 
     def _json_parse(this, args):
         import json as _json
@@ -1193,7 +1214,7 @@ def make_globals(engine) -> dict:
     return g
 
 
-def _to_json(v) -> str:
+def _to_json(v, interp=None) -> str:
     import json as _json
     if isinstance(v, (bool,)):
         return "true" if v else "false"
@@ -1205,15 +1226,25 @@ def _to_json(v) -> str:
     if v is NULL or v is UNDEF:
         return "null"
     if isinstance(v, JSArray):
-        return "[" + ",".join(_to_json(x) for x in v.items) + "]"
+        return "[" + ",".join(_to_json(x, interp) for x in v.items) + "]"
     if isinstance(v, JSTypedArray):
         return "{" + ",".join(f'"{i}":{num_to_str(float(x))}'
                               for i, x in enumerate(v.arr)) + "}"
     if isinstance(v, JSObject):
         # spec: undefined- and function-valued properties are OMITTED from
-        # objects (in arrays, the fallthrough below serializes them as null)
-        return "{" + ",".join(f"{_json.dumps(k)}:{_to_json(v.props[k])}"
-                              for k in _ordered_keys(v.props)
-                              if v.props[k] is not UNDEF
-                              and js_typeof(v.props[k]) != "function") + "}"
+        # objects (in arrays, the fallthrough below serializes them as
+        # null); accessor properties are resolved through their getters
+        def _rv(k):
+            pv = v.props[k]
+            if interp is not None:
+                pv = resolve_prop_value(interp, v, k, pv)
+            return pv
+
+        pairs = []
+        for k in _ordered_keys(v.props):
+            pv = _rv(k)
+            if pv is UNDEF or js_typeof(pv) == "function":
+                continue
+            pairs.append(f"{_json.dumps(k)}:{_to_json(pv, interp)}")
+        return "{" + ",".join(pairs) + "}"
     return "null"

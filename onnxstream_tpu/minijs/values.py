@@ -287,6 +287,19 @@ class JSPromise:
         self.error = error  # a JSThrow or None
 
 
+class JSAccessor:
+    """Property accessor pair from `{get x(){...}, set x(v){...}}` literals.
+    Stored as the prop VALUE; every read path resolves it through
+    runtime.resolve_prop_value (get_prop, Object.values/entries/assign,
+    spread, JSON.stringify)."""
+
+    __slots__ = ("get_fn", "set_fn")
+
+    def __init__(self, get_fn=None, set_fn=None):
+        self.get_fn = get_fn
+        self.set_fn = set_fn
+
+
 class NativeFunction:
     """Host (Python) function exposed to JS. fn(this, args) -> value.
     `props` holds static properties (Array.from, Float32Array.BYTES_PER_ELEMENT)."""
