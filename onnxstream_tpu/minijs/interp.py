@@ -77,9 +77,10 @@ class Interp:
         for st in stmts:
             self.exec_stmt(st, scope, this)
 
-    def exec_stmt(self, st: tuple, scope: Scope, this, label=None) -> None:
-        # `label` is the name of the LabelledStatement directly wrapping this
-        # statement (loops use it to match labeled break/continue)
+    def exec_stmt(self, st: tuple, scope: Scope, this, label=()) -> None:
+        # `label` is the tuple of LabelledStatement names directly wrapping
+        # this statement (`a: b: for...` gives the loop both names); loops
+        # use it to match labeled break/continue
         kind = st[0]
         if kind == "expr":
             self.eval(st[1], scope, this)
@@ -121,11 +122,11 @@ class Interp:
                 try:
                     self.exec_stmt(body, Scope(env), this)
                 except BreakEx as e:
-                    if e.label not in (None, label):
+                    if e.label is not None and e.label not in label:
                         raise
                     break
                 except ContinueEx as e:
-                    if e.label not in (None, label):
+                    if e.label is not None and e.label not in label:
                         raise
                 if per_iter:
                     env = _copy(env)
@@ -141,11 +142,11 @@ class Interp:
                 try:
                     self.exec_stmt(body, s2, this)
                 except BreakEx as e:
-                    if e.label not in (None, label):
+                    if e.label is not None and e.label not in label:
                         raise
                     break
                 except ContinueEx as e:
-                    if e.label not in (None, label):
+                    if e.label is not None and e.label not in label:
                         raise
         elif kind == "forin":
             _, _kw, pat, obj_e, body = st
@@ -159,33 +160,33 @@ class Interp:
                 try:
                     self.exec_stmt(body, s2, this)
                 except BreakEx as e:
-                    if e.label not in (None, label):
+                    if e.label is not None and e.label not in label:
                         raise
                     break
                 except ContinueEx as e:
-                    if e.label not in (None, label):
+                    if e.label is not None and e.label not in label:
                         raise
         elif kind == "while":
             while js_truthy(self.eval(st[1], scope, this)):
                 try:
                     self.exec_stmt(st[2], Scope(scope), this)
                 except BreakEx as e:
-                    if e.label not in (None, label):
+                    if e.label is not None and e.label not in label:
                         raise
                     break
                 except ContinueEx as e:
-                    if e.label not in (None, label):
+                    if e.label is not None and e.label not in label:
                         raise
         elif kind == "dowhile":
             while True:
                 try:
                     self.exec_stmt(st[1], Scope(scope), this)
                 except BreakEx as e:
-                    if e.label not in (None, label):
+                    if e.label is not None and e.label not in label:
                         raise
                     break
                 except ContinueEx as e:
-                    if e.label not in (None, label):
+                    if e.label is not None and e.label not in label:
                         raise
                 if not js_truthy(self.eval(st[2], scope, this)):
                     break
@@ -199,7 +200,7 @@ class Interp:
             # break <name> targeting a labeled NON-loop (or the loop itself)
             # unwinds to here; continue <name> is consumed by the loop
             try:
-                self.exec_stmt(st[2], scope, this, label=st[1])
+                self.exec_stmt(st[2], scope, this, label=(st[1],) + tuple(label))
             except BreakEx as e:
                 if e.label != st[1]:
                     raise
@@ -241,8 +242,11 @@ class Interp:
                         if hit_default:
                             for s in stmts:
                                 self.exec_stmt(s, s2, this)
-            except BreakEx:
-                pass
+            except BreakEx as e:
+                # plain `break` exits the switch; `break label` targets an
+                # enclosing labeled statement and must propagate
+                if e.label is not None:
+                    raise
         elif kind == "funcdecl":
             pass  # hoisted in exec_block
         elif kind == "classdecl":

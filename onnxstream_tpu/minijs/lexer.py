@@ -181,6 +181,8 @@ class Lexer:
             if c == "\\":
                 j += 2
                 continue
+            if c == "\n":
+                self.line += 1
             if c == "`":
                 return j + 1
             if c == "$" and j + 1 < self.n and s[j + 1] == "{":
@@ -191,6 +193,8 @@ class Lexer:
                     if cj == "\\":
                         j += 2
                         continue
+                    if cj == "\n":
+                        self.line += 1
                     if cj == "{":
                         depth += 1
                     elif cj == "}":

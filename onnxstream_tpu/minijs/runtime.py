@@ -372,12 +372,19 @@ def _js_replace(interp, s: str, args, all_occurrences: bool) -> str:
 def _js_fixed(n: float, f: int) -> str:
     """Fixed-point per spec ToFixed: ties on the EXACT binary double pick
     the larger candidate after sign extraction (half-away-from-zero), not
-    Python's half-even — (0.125).toFixed(2) is '0.13' in every browser."""
+    Python's half-even — (0.125).toFixed(2) is '0.13' in every browser.
+    |x| >= 1e21 falls back to ToString (spec step 10); the quantize runs
+    in a widened local context (a double's exact expansion + 100 digits
+    overflows the default 28-digit context with InvalidOperation)."""
     import decimal
 
+    if n != n or abs(n) == float("inf") or abs(n) >= 1e21:
+        return num_to_str(n)
     sign = "-" if (n < 0 or (n == 0 and math.copysign(1.0, n) < 0)) else ""
-    d = decimal.Decimal(abs(n)).quantize(
-        decimal.Decimal(1).scaleb(-f), rounding=decimal.ROUND_HALF_UP)
+    with decimal.localcontext() as ctx:
+        ctx.prec = 1200  # exact double expansion (~1080 digits) + headroom
+        d = decimal.Decimal(abs(n)).quantize(
+            decimal.Decimal(1).scaleb(-f), rounding=decimal.ROUND_HALF_UP)
     return sign + f"{d:.{f}f}"
 
 
@@ -905,6 +912,17 @@ def _math_obj() -> JSObject:
     return JSObject(props)
 
 
+def _object_assign(interp, target, sources):
+    """Spec Object.assign: reads resolve source getters, writes go through
+    [[Set]] so TARGET setters are invoked (not clobbered)."""
+    for s in sources:
+        if isinstance(s, JSObject):
+            for k in _ordered_keys(s.props):
+                set_prop(interp, target, k,
+                         resolve_prop_value(interp, s, k, s.props[k]))
+    return target
+
+
 def _mk_error_ctor(name: str) -> NativeFunction:
     def ctor(this, args):
         msg = _arg(args, 0, UNDEF)
@@ -1017,11 +1035,8 @@ def make_globals(engine) -> dict:
                                             _arg(a, 0).props[k])])
              for k in _ordered_keys(_arg(a, 0).props)]
             if isinstance(_arg(a, 0), JSObject) else [])),
-        "assign": NativeFunction("assign", lambda t, a: (
-            [a[0].props.update(
-                {k: resolve_prop_value(engine.interp, s, k, s.props[k])
-                 for k in s.props})
-             for s in a[1:] if isinstance(s, JSObject)], a[0])[1]),
+        "assign": NativeFunction("assign", lambda t, a: _object_assign(
+            engine.interp, a[0], a[1:])),
         "freeze": NativeFunction("freeze", lambda t, a: _arg(a, 0)),
     }
     g["Object"] = obj_ctor
